@@ -1,0 +1,288 @@
+"""Core point-cloud geometry ops, TPU-native.
+
+All ops use channels-last ``(B, N, C)`` layout with static shapes so XLA can
+tile the pairwise-distance matmuls onto the MXU and fuse the elementwise tails.
+The reference (SiyuanHuang95/SUG) implements these as torch loops / CUDA
+kernels (``model/point_utils.py``, ``model/pointnet2/src/*.cu``); here each op
+is a pure jittable function, differentiable where it makes sense (gathers and
+interpolation have natural scatter-add gradients via ``take_along_axis``).
+
+Parity notes (file:line refer to the reference):
+- FPS: model/point_utils.py:5-26 (sequential argmax loop, random start point).
+- ball query: model/point_utils.py:86-109 (radius mask -> smallest indices,
+  pad with first-in-ball; radius=None -> plain kNN by sorted distance).
+- kNN graph: model/model_utils.py:178-209 (matmul trick + topk).
+- 3-NN inverse-distance upsample: model/point_utils.py:134-165.
+- chamfer distance: external pip CUDA ext used at model/mmd.py:123-128.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared euclidean distance.
+
+    Args:
+        src: (B, N, C)
+        dst: (B, M, C)
+    Returns:
+        (B, N, M) squared distances. Computed with the ``|x|^2 - 2xy + |y|^2``
+        matmul trick so the inner product lands on the MXU.
+    """
+    # -2 * src @ dst^T  -> (B, N, M)
+    dist = -2.0 * jnp.einsum(
+        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32
+    )
+    dist = dist + jnp.sum(src**2, axis=-1, keepdims=True)  # (B, N, 1)
+    dist = dist + jnp.sum(dst**2, axis=-1)[:, None, :]  # (B, 1, M)
+    return dist
+
+
+def knn_indices(x: jax.Array, k: int) -> jax.Array:
+    """Indices of the k nearest neighbors of each point (self included).
+
+    Args:
+        x: (B, N, C) point features.
+        k: neighborhood size.
+    Returns:
+        (B, N, k) int32 indices. Mirrors reference ``knn``
+        (model/model_utils.py:178-185): topk of negative pairwise distance.
+    """
+    neg_dist = -square_distance(x, x)  # (B, N, N)
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather points by index.
+
+    Args:
+        points: (B, N, C)
+        idx: (B, S) or (B, S, K) int indices into the N axis.
+    Returns:
+        (B, S, C) or (B, S, K, C) gathered points.
+
+    Reference: model/point_utils.py:60-83 (batched fancy indexing).
+    """
+    if idx.ndim == 2:
+        return jnp.take_along_axis(points, idx[..., None], axis=1)
+    if idx.ndim == 3:
+        B, S, K = idx.shape
+        flat = idx.reshape(B, S * K)
+        out = jnp.take_along_axis(points, flat[..., None], axis=1)
+        return out.reshape(B, S, K, points.shape[-1])
+    raise ValueError(f"idx must be rank 2 or 3, got {idx.ndim}")
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def farthest_point_sample(
+    xyz: jax.Array, npoint: int, start_idx: Optional[jax.Array] = None
+) -> jax.Array:
+    """Farthest point sampling.
+
+    Args:
+        xyz: (B, N, 3) coordinates.
+        npoint: number of samples (static).
+        start_idx: (B,) int32 index of the first centroid per cloud. The
+            reference starts at a random point (model/point_utils.py:17);
+            pass ``jax.random.randint(key, (B,), 0, N)`` for that behavior,
+            default is deterministic index 0.
+    Returns:
+        (B, npoint) int32 indices of the sampled points.
+
+    Implemented as a ``lax.fori_loop`` over npoint iterations; each iteration
+    is a batched distance update + argmax (vectorized over B and N on the
+    VPU). See sug_tpu.ops.fps_pallas for the fused Pallas kernel.
+    """
+    B, N, _ = xyz.shape
+    if start_idx is None:
+        start_idx = jnp.zeros((B,), dtype=jnp.int32)
+
+    def body(i, state):
+        dists, farthest, centroids = state
+        centroids = jax.lax.dynamic_update_slice_in_dim(
+            centroids, farthest[:, None], i, axis=1
+        )
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((xyz - centroid) ** 2, axis=-1)  # (B, N)
+        dists = jnp.minimum(dists, d)
+        farthest = jnp.argmax(dists, axis=-1).astype(jnp.int32)
+        return dists, farthest, centroids
+
+    init = (
+        jnp.full((B, N), 1e10, dtype=jnp.float32),
+        start_idx.astype(jnp.int32),
+        jnp.zeros((B, npoint), dtype=jnp.int32),
+    )
+    _, _, centroids = jax.lax.fori_loop(0, npoint, body, init)
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def query_ball_point(
+    radius: Optional[float], nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """Radius-limited neighbor query.
+
+    Args:
+        radius: ball radius; ``None`` selects plain k-nearest (sorted by
+            distance) matching model/point_utils.py:107-108.
+        nsample: neighbors per query point (static).
+        xyz: (B, N, 3) all points.
+        new_xyz: (B, S, 3) query points.
+    Returns:
+        (B, S, nsample) int32 indices. In-radius points are taken in
+        ascending index order; if fewer than nsample lie in the ball the
+        remainder repeats the first in-ball index (reference padding
+        semantics, model/point_utils.py:100-106).
+    """
+    B, N, _ = xyz.shape
+    sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
+    if radius is None:
+        # k nearest sorted by distance
+        _, idx = jax.lax.top_k(-sqrdists, nsample)
+        return idx.astype(jnp.int32)
+
+    iota = jnp.arange(N, dtype=jnp.int32)
+    # out-of-ball points get sentinel key N; top_k(-key) selects the nsample
+    # smallest keys == smallest in-ball indices, already ascending.
+    keys = jnp.where(sqrdists > radius**2, N, iota[None, None, :])
+    neg_keys, _ = jax.lax.top_k(-keys, nsample)
+    group_idx = -neg_keys  # ascending in-ball indices, N where missing
+    first = group_idx[..., :1]
+    group_idx = jnp.where(group_idx == N, first, group_idx)
+    # degenerate guard (empty ball -> everything is sentinel): clamp in-range
+    return jnp.minimum(group_idx, N - 1).astype(jnp.int32)
+
+
+def three_nn_interpolate(
+    xyz_dense: jax.Array,
+    xyz_coarse: jax.Array,
+    feats_coarse: jax.Array,
+    k: int = 3,
+) -> jax.Array:
+    """Inverse-distance-weighted k-NN feature upsampling.
+
+    Args:
+        xyz_dense: (B, N, 3) target positions.
+        xyz_coarse: (B, S, 3) source positions.
+        feats_coarse: (B, S, D) source features.
+        k: number of neighbors (3 in the reference).
+    Returns:
+        (B, N, D) interpolated features.
+
+    Reference: model/point_utils.py:134-165 (``upsample_inter`` without the
+    skip concat — callers concat themselves) and the CUDA
+    three_nn/three_interpolate pair.
+    """
+    sqrdists = square_distance(xyz_dense, xyz_coarse)  # (B, N, S)
+    neg_d, idx = jax.lax.top_k(-sqrdists, k)  # k smallest distances
+    dists = jnp.maximum(-neg_d, 1e-10)
+    weight = 1.0 / dists
+    weight = weight / jnp.sum(weight, axis=-1, keepdims=True)  # (B, N, k)
+    neighbor_feats = index_points(feats_coarse, idx)  # (B, N, k, D)
+    return jnp.sum(neighbor_feats * weight[..., None], axis=2)
+
+
+def chamfer_distance(
+    pc1: jax.Array, pc2: jax.Array, per_sample: bool = True
+) -> jax.Array:
+    """Bidirectional chamfer distance between two batches of clouds.
+
+    Args:
+        pc1: (B, N, 3)
+        pc2: (B, M, 3)
+        per_sample: if True return (B,) ``mean_n min_m d + mean_m min_n d``
+            (the reference's ``cd_distance`` with batch_loss=True,
+            model/mmd.py:169-175); else a scalar mean.
+    Returns:
+        (B,) or scalar chamfer distances (squared-distance convention, as the
+        pip ``chamfer_distance`` CUDA ext the reference uses).
+    """
+    sqrdists = square_distance(pc1, pc2)  # (B, N, M)
+    dist1 = jnp.min(sqrdists, axis=2)  # (B, N)
+    dist2 = jnp.min(sqrdists, axis=1)  # (B, M)
+    per = jnp.mean(dist1, axis=1) + jnp.mean(dist2, axis=1)
+    return per if per_sample else jnp.mean(per)
+
+
+def get_graph_feature(
+    x: jax.Array, k: int = 20, idx: Optional[jax.Array] = None
+) -> jax.Array:
+    """EdgeConv graph feature: concat(neighbor - center, center).
+
+    Args:
+        x: (B, N, C) point features.
+        k: neighborhood size.
+        idx: optional precomputed (B, N, k) neighbor indices.
+    Returns:
+        (B, N, k, 2C) edge features. Matches reference ``get_graph_feature``
+        (model/model_utils.py:188-209) up to layout — reference returns
+        (B, 2C, N, k).
+    """
+    if idx is None:
+        idx = knn_indices(x, k)
+    neighbors = index_points(x, idx)  # (B, N, k, C)
+    center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate([neighbors - center, center], axis=-1)
+
+
+def sample_and_group(
+    npoint: int,
+    radius: Optional[float],
+    nsample: int,
+    xyz: jax.Array,
+    feats: Optional[jax.Array],
+    start_idx: Optional[jax.Array] = None,
+    return_fps_idx: bool = False,
+):
+    """FPS -> ball query -> gather -> center, PointNet++ style.
+
+    Args:
+        npoint: number of sampled centroids.
+        radius: ball radius (None = kNN grouping).
+        nsample: neighbors per centroid.
+        xyz: (B, N, 3).
+        feats: optional (B, N, D) features to concat with centered coords.
+    Returns:
+        new_xyz (B, npoint, 3), new_feats (B, npoint, nsample, 3[+D])
+        [, fps_idx (B, npoint)].
+
+    Reference: model/pointnet2_utils.py:107-145.
+    """
+    fps_idx = farthest_point_sample(xyz, npoint, start_idx)
+    new_xyz = index_points(xyz, fps_idx)  # (B, npoint, 3)
+    group_idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, group_idx)  # (B, npoint, nsample, 3)
+    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if feats is not None:
+        grouped_feats = index_points(feats, group_idx)
+        new_feats = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+    else:
+        new_feats = grouped_xyz
+    if return_fps_idx:
+        return new_xyz, new_feats, fps_idx
+    return new_xyz, new_feats
+
+
+def sample_and_group_all(
+    xyz: jax.Array, feats: Optional[jax.Array]
+) -> Tuple[jax.Array, jax.Array]:
+    """Group the whole cloud into a single region (final SA layer).
+
+    Reference: model/pointnet2_utils.py:148-155.
+    """
+    B, N, _ = xyz.shape
+    new_xyz = jnp.zeros((B, 1, 3), dtype=xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]  # (B, 1, N, 3)
+    if feats is not None:
+        new_feats = jnp.concatenate([grouped_xyz, feats[:, None, :, :]], axis=-1)
+    else:
+        new_feats = grouped_xyz
+    return new_xyz, new_feats
