@@ -1,0 +1,80 @@
+"""Self-adaptive node module (SA-node) — source of the "geometric" node
+features aligned by the geo-MMD.
+
+Reference: ``adapt_layer_off`` (model/model_utils.py:92-128):
+FPS 64 nodes -> ball-query(r=0.3, 64) group -> learned tanh offsets on the
+centered group features -> re-query (kNN) at the offset node locations ->
+max-pool node features -> 3-NN inverse-distance upsample back to all points,
+concatenated with the input features.
+
+TPU notes: all gathers are static-shape ``take_along_axis``; FPS is the
+fori_loop kernel from sug_tpu.ops. The reference also defines an unused
+``self.trans`` conv (dead parameter) — not carried over.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sug_tpu.models.layers import ConvBN
+from sug_tpu.ops.geometry import (
+    farthest_point_sample,
+    index_points,
+    query_ball_point,
+    three_nn_interpolate,
+)
+
+
+class SelfAdaptiveNodeModule(nn.Module):
+    """SA-node module: (B, N, C) features + (B, N, 3) coords ->
+    (B, N, C + fc_dim) upsampled features, (B, num_node, fc_dim) node
+    features, (B, num_node, 3) learned node offsets."""
+
+    num_node: int = 64
+    nsample: int = 64
+    radius: float = 0.3
+    fc_dim: int = 64
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jax.Array,
+        xyz: jax.Array,
+        train: bool,
+        fps_start: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        # -- initialize nodes via FPS (reference model/model_utils.py:105-107)
+        fps_idx = farthest_point_sample(xyz, self.num_node, fps_start)
+        fpoint_loc = index_points(xyz, fps_idx)  # (B, S, 3)
+        fpoint_fea = index_points(feats, fps_idx)  # (B, S, C)
+        group_idx = query_ball_point(self.radius, self.nsample, xyz, fpoint_loc)
+        group_fea = index_points(feats, group_idx)  # (B, S, ns, C)
+        group_fea = group_fea - fpoint_fea[:, :, None, :]
+
+        # -- learn node offsets (model/model_utils.py:112-117)
+        # pred_offset: 1x1 conv + tanh, no bias; EXCLUDED from the generator
+        # optimizer group (train_dg_single_gpu.py:191) — the param name
+        # 'pred_offset' is the contract the optimizer masking keys on.
+        seman_trans = nn.tanh(
+            nn.Dense(3, use_bias=False, name="pred_offset")(group_fea)
+        )  # (B, S, ns, 3)
+        group_loc = index_points(xyz, group_idx) - fpoint_loc[:, :, None, :]
+        node_offset = jnp.mean(seman_trans * group_loc, axis=2)  # (B, S, 3)
+
+        # -- re-query at offset nodes, max-pool node features
+        # (model/model_utils.py:119-123; second query uses radius=None = kNN)
+        node_loc = fpoint_loc + node_offset
+        group_idx2 = query_ball_point(None, self.nsample, xyz, node_loc)
+        residual_fea = ConvBN(self.fc_dim, name="residual")(feats, train)
+        group_fea2 = index_points(residual_fea, group_idx2)  # (B, S, ns, fc)
+        node_fea = jnp.max(group_fea2, axis=2)  # (B, S, fc_dim)
+
+        # -- 3-NN inverse-distance upsample + skip concat
+        # (model/model_utils.py:126, model/point_utils.py:134-165)
+        interpolated = three_nn_interpolate(xyz, node_loc, node_fea, k=3)
+        output_fea = jnp.concatenate([feats, interpolated], axis=-1)
+        return output_fea, node_fea, node_offset

@@ -1,0 +1,107 @@
+"""DGCNN backbone: EdgeConv stack with the SA-node module spliced in.
+
+Reference: DG generator ``DGCNN`` (model/Model.py:54-121) and standalone
+classifier ``DGCNN`` (model/model_pointnet.py:93-161).
+
+Each EdgeConv = kNN-20 graph feature (concat(nbr - x, x)) -> Dense+BN+
+leakyrelu -> max over neighbors. The 4 block outputs (64, 64, 128, 256) are
+concatenated, projected to 512, then global max+avg pooled into a 1024-d
+descriptor. The DG variant inserts the SA-node module after block 2 with a
+1024-point interpolation and a Dense(128->64) re-projection
+(model/Model.py:100-101).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sug_tpu.models.adapt_node import SelfAdaptiveNodeModule
+from sug_tpu.models.heads import ClassifierHead
+from sug_tpu.models.layers import ConvBN
+from sug_tpu.ops.geometry import get_graph_feature
+
+K_NEIGHBORS = 20
+
+
+class _EdgeConvBlock(nn.Module):
+    """One EdgeConv block: graph feature -> ConvBN(leakyrelu) -> max over k."""
+
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        feat = get_graph_feature(x, k=K_NEIGHBORS)
+        feat = ConvBN(self.features, act="leakyrelu", use_bias=False, name="conv")(
+            feat, train
+        )
+        return jnp.max(feat, axis=2)
+
+
+class DGCNNGenerator(nn.Module):
+    """DG generator. Returns (global_feat (B,1024), node_fea (B,64,64),
+    node_offset)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        pc: jax.Array,
+        train: bool,
+        fps_start: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        xyz = pc  # (B, N, 3)
+        x1 = _EdgeConvBlock(64, name="block1")(pc, train)
+        x2 = _EdgeConvBlock(64, name="block2")(x1, train)
+
+        # SA-node module after block 2 (model/Model.py:100-101): upsampled
+        # 128-ch features re-projected to 64 with a plain Dense (the
+        # reference Conv1d has no BN/activation).
+        x_up, node_fea, node_off = SelfAdaptiveNodeModule(name="sa_node")(
+            x2, xyz, train, fps_start
+        )
+        x2 = nn.Dense(64, name="reproject")(x_up)
+
+        x3 = _EdgeConvBlock(128, name="block3")(x2, train)
+        x4 = _EdgeConvBlock(256, name="block4")(x3, train)
+
+        x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 512)
+        x5 = nn.Dense(512, use_bias=False, name="conv5")(x_cat)
+        x5 = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn5"
+        )(x5)
+        x5 = nn.leaky_relu(x5, negative_slope=0.2)
+        gmax = jnp.max(x5, axis=1)
+        gavg = jnp.mean(x5, axis=1)
+        return jnp.concatenate([gmax, gavg], axis=-1), node_fea, node_off
+
+
+class DGCNNClassifier(nn.Module):
+    """Standalone DGCNN classifier (no SA-node module,
+    model/model_pointnet.py:93-161): 4 EdgeConvs -> 512 proj -> max+avg pool
+    -> PointNet head with dgcnn activations."""
+
+    num_class: int = 10
+
+    @nn.compact
+    def __call__(self, pc: jax.Array, train: bool) -> Tuple[jax.Array, jax.Array]:
+        x1 = _EdgeConvBlock(64, name="block1")(pc, train)
+        x2 = _EdgeConvBlock(64, name="block2")(x1, train)
+        x3 = _EdgeConvBlock(128, name="block3")(x2, train)
+        x4 = _EdgeConvBlock(256, name="block4")(x3, train)
+        x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+        x5 = nn.Dense(512, use_bias=False, name="conv5")(x_cat)
+        x5 = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn5"
+        )(x5)
+        x5 = nn.leaky_relu(x5, negative_slope=0.2)
+        gmax = jnp.max(x5, axis=1)
+        gavg = jnp.mean(x5, axis=1)
+        x = jnp.concatenate([gmax, gavg], axis=-1)
+        logits, mid = ClassifierHead(self.num_class, dgcnn=True, name="classifier")(
+            x, train
+        )
+        return logits, mid
