@@ -1,0 +1,305 @@
+"""PointDA-10 dataset ingest.
+
+On-disk contract identical to the reference (utils/train_files_spliter.py:
+140-149): ``<data_root>/<dataset>/{train,test}_pts.npy`` + ``_label.npy``
+unified dumps; ``<data_root>/<dataset>/DGCNN_spliter/*.npy`` offline
+sub-domain clusters; ``.pkl`` random-split index caches next to the dumps.
+
+TPU-first pipeline design: everything shape-normalizing happens ONCE at
+ingest (normalize + optional fixed x-rotation + pad/subsample to N=1024,
+vectorized numpy) producing one contiguous (M, 1024, 3) float32 array; the
+per-step augmentation (z-rotation + jitter) runs on-device inside the jitted
+train step. This replaces the reference's per-item numpy ``__getitem__`` in
+DataLoader worker processes (data/dataloader.py:302-327).
+
+Parity note: the reference zero-pads AFTER jitter so pad points stay exactly
+zero; here padding happens at ingest so pad points receive jitter too —
+a sub-1e-2 perturbation on the rare short clouds (scannet), distributionally
+irrelevant.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+DATASET_LIST = ["scannet", "shapenet", "modelnet"]
+NUM_CLASS = 10
+DEFAULT_NUM_POINTS = 1024
+
+
+def resolve_data_root(cfg_or_path=None) -> str:
+    """Resolution order: explicit arg / cfg DATA_ROOT -> $SUG_DATA_ROOT ->
+    ./data/PointDA_data."""
+    if isinstance(cfg_or_path, str):
+        return cfg_or_path
+    if cfg_or_path is not None and "DATA_ROOT" in cfg_or_path:
+        return cfg_or_path["DATA_ROOT"]
+    return os.environ.get("SUG_DATA_ROOT", os.path.join("data", "PointDA_data"))
+
+
+def load_dataset_full(
+    dataset_type: str, status: str = "train", data_root: Optional[str] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Load the unified per-dataset dump (reference
+    utils/train_files_spliter.py:140-149)."""
+    root = resolve_data_root(data_root)
+    pts = np.load(os.path.join(root, dataset_type, f"{status}_pts.npy"))
+    labels = np.load(os.path.join(root, dataset_type, f"{status}_label.npy"))
+    return pts, labels
+
+
+def normalize_pc_np(pc: np.ndarray) -> np.ndarray:
+    """Vectorized (M, N, 3) center + max-norm scale (data/data_utils.py:5-15)."""
+    pc = pc - pc.mean(axis=-2, keepdims=True)
+    max_norm = np.sqrt((pc**2).sum(-1)).max(axis=-1)[..., None, None]
+    return pc / np.maximum(max_norm, 1e-12)
+
+
+def _rot_x_np(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], dtype=np.float64)
+
+
+def fit_num_points(
+    pts: np.ndarray, num_points: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Pad with zeros / random-subsample each cloud to exactly num_points
+    (reference data/dataloader.py:316-326, done per-item there)."""
+    M, N, C = pts.shape
+    if N == num_points:
+        return pts
+    if N < num_points:
+        pad = np.zeros((M, num_points - N, C), dtype=pts.dtype)
+        return np.concatenate([pts, pad], axis=1)
+    idx = np.stack([rng.permutation(N)[:num_points] for _ in range(M)])
+    return np.take_along_axis(pts, idx[..., None], axis=1)
+
+
+class PointCloudDataset:
+    """In-memory dataset over (pts, labels) arrays — the reference's
+    UnifiedPointDG (data/dataloader.py:244-330) redesigned for batched device
+    feeding: holds a single (M, num_points, 3) float32 array, ready to slice.
+
+    ``fixed_x_rotation``: the -pi/2 x-rotation applied to non-modelnet data
+    under DGCNN (data/dataloader.py:308-310).
+    """
+
+    def __init__(
+        self,
+        dataset_type: str,
+        pts: np.ndarray,
+        labels: np.ndarray,
+        status: str = "train",
+        num_points: int = DEFAULT_NUM_POINTS,
+        aug: bool = True,
+        model: str = "Pointnet",
+        seed: int = 666,
+    ):
+        assert pts.shape[0] == labels.shape[0], "pts/label count mismatch"
+        self.dataset_type = dataset_type
+        self.status = status
+        self.num_points = num_points
+        self.aug = aug  # consumed by the trainer: gates on-device augmentation
+        self.model = model
+
+        rng = np.random.default_rng(seed)
+        pts = np.asarray(pts, dtype=np.float32)[..., :3]
+        pts = normalize_pc_np(pts)
+        if dataset_type != "modelnet" and model == "DGCNN":
+            pts = (pts @ _rot_x_np(-np.pi / 2)).astype(np.float32)
+        pts = fit_num_points(pts, num_points, rng)
+
+        self.pts = np.ascontiguousarray(pts, dtype=np.float32)
+        self.labels = np.asarray(labels, dtype=np.int32).reshape(-1)
+
+        self.class_num = NUM_CLASS
+        self.indices = [
+            np.nonzero(self.labels == c)[0].tolist() for c in range(self.class_num)
+        ]
+        self.cls_num_counter = [len(ix) for ix in self.indices]
+
+    def __len__(self) -> int:
+        return self.pts.shape[0]
+
+    def classes(self):
+        return self.indices
+
+    def cls_wights(self, weighting: str = "number_inverse", q_=None):
+        """Class-weight vector for focal/ClassWeighting losses — reference
+        UnifiedPointDG.cls_wights (data/dataloader.py:272-300), incl. the
+        [sic] method name for drop-in familiarity."""
+        from sug_tpu.losses.classification import class_weights
+
+        return class_weights(
+            self.cls_num_counter,
+            weighting,
+            q=q_,
+            adaptive_q=isinstance(q_, str),
+        )
+
+
+def create_single_dataset(
+    dataset_type: str,
+    status: str = "test",
+    aug: bool = False,
+    pc_num: int = DEFAULT_NUM_POINTS,
+    model: str = "Pointnet",
+    data_root: Optional[str] = None,
+) -> PointCloudDataset:
+    """Full-dataset factory (reference data/dataloader.py:350-356)."""
+    assert dataset_type in DATASET_LIST, f"Not supported dataset {dataset_type}!"
+    pts, labels = load_dataset_full(dataset_type, status, data_root)
+    assert len(set(labels.tolist())) == NUM_CLASS, "The class in labels is less than 10!"
+    return PointCloudDataset(
+        dataset_type, pts, labels, status=status, num_points=pc_num, aug=aug, model=model
+    )
+
+
+def create_splitted_dataset(
+    dataset_type: str,
+    status: str = "train",
+    config=None,
+    logger=None,
+    pc_num: int = DEFAULT_NUM_POINTS,
+    aug: bool = True,
+    model: str = "Pointnet",
+    data_root: Optional[str] = None,
+):
+    """Sub-domain pair factory (reference data/dataloader.py:334-347):
+    runs the train-time splitter and wraps both subsets."""
+    from sug_tpu.data.splitter import split_dataset
+
+    assert dataset_type in DATASET_LIST, f"Not supported dataset {dataset_type}!"
+    spliter = split_dataset(
+        dataset_type, split_config=config, logger=logger, status=status, data_root=data_root
+    )
+    subsets = []
+    for name in spliter:
+        subsets.append(
+            PointCloudDataset(
+                dataset_type,
+                spliter[name]["pts"],
+                spliter[name]["label"],
+                status=status,
+                num_points=pc_num,
+                aug=aug,
+                model=model,
+            )
+        )
+    return subsets
+
+
+# ---------------------------------------------------------------------------
+# Synthetic PointDA-like data (tests / smoke training)
+# ---------------------------------------------------------------------------
+
+
+def make_synthetic_pointda(
+    num_per_class: int = 24,
+    num_points: int = DEFAULT_NUM_POINTS,
+    num_class: int = NUM_CLASS,
+    seed: int = 0,
+    noise: float = 0.02,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """10 geometrically distinguishable classes (spheres, cubes, cylinders,
+    cones, tori, planes, ... parameterized by class index) for smoke
+    training — stands in for PointDA-10 where real data is unavailable."""
+    rng = np.random.default_rng(seed)
+    clouds, labels = [], []
+    for c in range(num_class):
+        for _ in range(num_per_class):
+            u = rng.uniform(0, 2 * np.pi, num_points)
+            v = rng.uniform(-1, 1, num_points)
+            # vary SHAPE RATIOS per class (aspect, apex angle, tube radius):
+            # pure scale differences would be erased by the ingest
+            # normalization, leaving paired classes indistinguishable.
+            t = c / num_class
+            if c % 5 == 0:  # ellipsoid, elongation varies
+                e = 0.3 + 1.4 * t
+                phi = np.arccos(v)
+                pc = np.stack(
+                    [np.sin(phi) * np.cos(u), np.sin(phi) * np.sin(u), e * np.cos(phi)],
+                    axis=1,
+                )
+            elif c % 5 == 1:  # cylinder, height/radius ratio varies
+                h = 0.4 + t
+                pc = np.stack([np.cos(u), np.sin(u), h * v], axis=1)
+            elif c % 5 == 2:  # cuboid shell, aspect varies
+                pc = rng.uniform(-1, 1, (num_points, 3))
+                axis = rng.integers(0, 3, num_points)
+                sign = rng.choice([-1.0, 1.0], num_points)
+                pc[np.arange(num_points), axis] = sign
+                pc[:, 2] *= 0.4 + 1.2 * t
+            elif c % 5 == 3:  # cone, apex angle varies
+                z = rng.uniform(0, 1, num_points)
+                r = (1 - z) * (0.3 + t)
+                pc = np.stack([r * np.cos(u), r * np.sin(u), z], axis=1)
+            else:  # torus, tube radius varies
+                rt = 0.15 + 0.3 * t
+                pc = np.stack(
+                    [
+                        (1 + rt * np.cos(v * np.pi)) * np.cos(u),
+                        (1 + rt * np.cos(v * np.pi)) * np.sin(u),
+                        rt * np.sin(v * np.pi),
+                    ],
+                    axis=1,
+                )
+            pc = pc + rng.normal(0, noise, pc.shape)
+            clouds.append(pc.astype(np.float32))
+            labels.append(c)
+    order = rng.permutation(len(clouds))
+    return np.stack(clouds)[order], np.array(labels, dtype=np.int64)[order]
+
+
+# ---------------------------------------------------------------------------
+# One-time dump builders (reference utils/train_files_spliter.py:322-379)
+# ---------------------------------------------------------------------------
+
+
+def extract_scannet_to_npy(scannet_path: str) -> None:
+    """h5 shards listed in {train,test}_files.txt -> unified npy dumps."""
+    import h5py
+
+    for split in ("train", "test"):
+        with open(os.path.join(scannet_path, f"{split}_files.txt")) as f:
+            files = [
+                os.path.join(scannet_path, line.rstrip().split("/")[-1]) for line in f
+            ]
+        points, labels = [], []
+        for pth in files:
+            with h5py.File(pth, "r") as hf:
+                points.append(hf["data"][:])
+                labels.append(hf["label"][:])
+        data = np.concatenate(points, axis=0)
+        label = np.concatenate(labels, axis=0)
+        assert data.shape[0] == label.shape[0]
+        np.save(os.path.join(scannet_path, f"{split}_pts.npy"), data)
+        np.save(os.path.join(scannet_path, f"{split}_label.npy"), label)
+
+
+def extract_shapenet_to_npy(shapenet_path: str) -> None:
+    """Per-file category tree (<cls>/<split>/*.npy) -> unified npy dumps."""
+    for split in ("train", "test"):
+        categories = sorted(
+            c.split(os.path.sep)[-1] for c in glob.glob(os.path.join(shapenet_path, "*"))
+            if os.path.isdir(c)
+        )
+        pts_files = sorted(glob.glob(os.path.join(shapenet_path, "*", split, "*.npy")))
+        points, labels = [], []
+        for pf in pts_files:
+            points.append(np.load(pf))
+            cls_name = pf.split(os.path.sep)[-3]
+            labels.append(categories.index(cls_name))
+        data = np.array(points)
+        label = np.array(labels)
+        assert data.shape[0] == label.shape[0]
+        np.save(os.path.join(shapenet_path, f"{split}_pts.npy"), data)
+        np.save(os.path.join(shapenet_path, f"{split}_label.npy"), label)
+
+
+def extract_modelnet_to_npy(modelnet_path: str) -> None:
+    extract_shapenet_to_npy(modelnet_path)

@@ -1,0 +1,94 @@
+"""Batch iterators: shuffled and class-balanced.
+
+Host-side index generation feeding the jitted train step with fixed-shape
+(B, N, 3) slices. Replaces the reference's torch DataLoader + custom Sampler
+(utils/train_utils.py:65-82) and DistributedSampler
+(data/dataloader.py:16-36).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from sug_tpu.data.datasets import PointCloudDataset
+
+
+class BatchIterator:
+    """Shuffled, drop-last batch index iterator over a PointCloudDataset."""
+
+    def __init__(
+        self,
+        dataset: PointCloudDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 666,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        """DistributedSampler-style epoch seeding for reproducible shuffles
+        (reference data/dataloader.py:22-26)."""
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            yield self.dataset.pts[idx], self.dataset.labels[idx]
+
+
+class ClassBalancedBatchIterator:
+    """Class-balanced batches: sample ``class_per_batch`` classes per epoch,
+    then draw each batch element from a random chosen class — reference
+    ``Sampler`` semantics (utils/train_utils.py:65-82, enabled by
+    ``CLASS_BALANCE`` at train_dg_single_gpu.py:98-102)."""
+
+    def __init__(
+        self,
+        dataset: PointCloudDataset,
+        batch_size: int,
+        class_per_batch: int = 10,
+        seed: int = 666,
+    ):
+        self.dataset = dataset
+        self.classes: List[List[int]] = dataset.classes()
+        self.batch_size = batch_size
+        self.class_per_batch = class_per_batch
+        self.n_batches = sum(len(x) for x in self.classes) // batch_size
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        nonempty = [i for i, x in enumerate(self.classes) if len(x) > 0]
+        k = min(self.class_per_batch, len(nonempty))
+        chosen = self._rng.choice(nonempty, size=k, replace=False)
+        for _ in range(self.n_batches):
+            klass = self._rng.choice(chosen, size=self.batch_size)
+            idx = np.array(
+                [self.classes[c][self._rng.integers(len(self.classes[c]))] for c in klass]
+            )
+            yield self.dataset.pts[idx], self.dataset.labels[idx]
+
+
+def paired_epoch(it_s, it_t) -> Iterator:
+    """zip() over source/target iterators — the DG hot-loop pairing
+    (train_dg_single_gpu.py:246)."""
+    return zip(iter(it_s), iter(it_t))

@@ -1,0 +1,310 @@
+"""The SUG DG trainer: one jitted step containing augmentation, both domain
+forwards, every loss, and the fused three-group optimizer update.
+
+Reference choreography (train_dg_single_gpu.py:207-398): per batch it runs
+model(data) + model(data_t) for semantics, then model(data, node_adaptation_s)
++ model(data_t, node_adaptation_t) for node features — four backbone passes —
+then backward + 3 optimizer steps. Here the composite model emits everything
+in ONE pass per domain and the whole step is a single XLA program.
+
+Loss semantics (with the reference's bugs fixed, not replicated):
+- cls: 0.5*CE(head1) + 0.5*CE(head2), focal / class-weighted variants
+- adv: -ADV_WEIGHT * discrepancy(target head outputs), added AFTER the head
+  average (the reference references loss_s before assignment when
+  ADV_WEIGHT > 0, train_dg_single_gpu.py:274-279 — an UnboundLocalError in
+  practice; this is the intended ordering)
+- target split CE uses the TARGET split's labels (the reference passes the
+  source batch's labels at train_dg_single_gpu.py:285-286, which pairs
+  unrelated labels since the two loaders shuffle independently; set
+  ``METHODS.TARGET_LOSS_USES_SOURCE_LABELS: True`` for bug-parity)
+- geo MMD on CALayer-attended 4096-d node features with chamfer SDA weights
+- sem MMD on the two heads' 256-d mid features with KL SDA weights
+- PURE_CLS_EPOCH gating compiles two step variants (cls-only / full)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sug_tpu.engine.optim import ThreeGroupOptimizer, ThreeGroupState
+from sug_tpu.losses.classification import cross_entropy, discrepancy, focal_loss
+from sug_tpu.losses.mmd import mmd_cal
+from sug_tpu.models.net_mda import NetMDA
+from sug_tpu.ops.augment import augment_batch
+from sug_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+@flax.struct.dataclass
+class DGTrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: ThreeGroupState
+    step: jax.Array
+
+
+def make_criterion(opt_cfg, source_dataset=None, num_class: int = 10):
+    """Build the classification loss from OPTIMIZATION config — FocalLoss /
+    ClassWeighting (gamma=0 focal) / plain CE
+    (reference train_dg_single_gpu.py:163-181)."""
+    name = opt_cfg.get("CLS_LOSS", "CrossEntropyLoss")
+    if name == "FocalLoss":
+        alpha = None
+        if opt_cfg.get("CLS_WEIGHT", None) and source_dataset is not None:
+            alpha = source_dataset.cls_wights(weighting=opt_cfg["CLS_WEIGHT"])
+        gamma = float(opt_cfg["FOCAL_GAMMA"])
+        alpha_arr = None if alpha is None else jnp.asarray(alpha)
+        return functools.partial(
+            focal_loss, gamma=gamma, alpha=alpha_arr, num_classes=num_class
+        )
+    if name == "ClassWeighting":
+        if not opt_cfg.get("CLS_WEIGHT", None):
+            raise RuntimeError("When setting ClassWeighting, CLS_WEIGHT should be provided")
+        alpha = source_dataset.cls_wights(
+            weighting=opt_cfg["CLS_WEIGHT"], q_=opt_cfg.get("DLSA_Q", None)
+        )
+        return functools.partial(
+            focal_loss, gamma=0.0, alpha=jnp.asarray(alpha), num_classes=num_class
+        )
+    return cross_entropy
+
+
+class DGTrainer:
+    """Owns the NetMDA model, the fused optimizer, and the compiled steps.
+
+    ``mesh``: optional 1-D data mesh — when given, batches are sharded over
+    it and params replicated; GSPMD inserts the gradient all-reduce.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        model_name: str = "Pointnet",
+        num_class: int = 10,
+        criterion=None,
+        mesh=None,
+        augment: bool = True,
+    ):
+        self.cfg = cfg
+        self.model = NetMDA(model_name=model_name, num_class=num_class)
+        self.model_name = model_name
+        self.num_class = num_class
+        self.criterion = criterion or cross_entropy
+        self.mesh = mesh
+        self.augment = augment
+        self.optimizer: Optional[ThreeGroupOptimizer] = None
+
+        methods = cfg["METHODS"]
+        self._grl = bool(methods.get("GRL", False))
+        self._jit_kwargs = {}
+        if mesh is not None:
+            rep = replicated_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            self._jit_kwargs = dict(
+                in_shardings=(rep, (bsh, bsh, bsh, bsh), rep, rep),
+                out_shardings=rep,
+            )
+        self._train_step_cls = jax.jit(
+            functools.partial(self._train_step, mmd_on=False), **self._jit_kwargs
+        )
+        self._train_step_full = jax.jit(
+            functools.partial(self._train_step, mmd_on=True), **self._jit_kwargs
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int, batch_size: int, num_points: int) -> DGTrainState:
+        dummy = jnp.zeros((batch_size, num_points, 3), dtype=jnp.float32)
+        variables = self.model.init(
+            {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+            dummy,
+            True,
+            domain="both",
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        wd = float(self.cfg["OPTIMIZATION"]["WEIGHT_DECAY"])
+        self.optimizer = ThreeGroupOptimizer(params, wd)
+        state = DGTrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), dtype=jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
+
+    # ------------------------------------------------------------------
+    def _forward_both(self, params, batch_stats, data_s, data_t, key, grl_const):
+        """Source then target forward, threading BN stats like the
+        reference's sequential model() calls."""
+        k_fps_s, k_fps_t, k_do_s, k_do_t = jax.random.split(key, 4)
+        B, N = data_s.shape[0], data_s.shape[1]
+        fps_s = jax.random.randint(k_fps_s, (B,), 0, N)
+        fps_t = jax.random.randint(k_fps_t, (B,), 0, N)
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        out_s, mut = self.model.apply(
+            variables,
+            data_s,
+            True,
+            domain="source",
+            fps_start=fps_s,
+            rngs={"dropout": k_do_s},
+            mutable=["batch_stats"],
+        )
+        variables = {"params": params, "batch_stats": mut["batch_stats"]}
+        out_t, mut = self.model.apply(
+            variables,
+            data_t,
+            True,
+            domain="target",
+            grl_constant=grl_const if self._grl else 0.0,
+            fps_start=fps_t,
+            rngs={"dropout": k_do_t},
+            mutable=["batch_stats"],
+        )
+        return out_s, out_t, mut["batch_stats"]
+
+    def _loss(
+        self, params, batch_stats, data_s, label_s, data_t, label_t, key, grl_const, mmd_on
+    ):
+        methods = self.cfg["METHODS"]
+        out_s, out_t, new_stats = self._forward_both(
+            params, batch_stats, data_s, data_t, key, grl_const
+        )
+
+        loss_s1 = self.criterion(out_s["logits1"], label_s)
+        loss_s2 = self.criterion(out_s["logits2"], label_s)
+        loss_s = 0.5 * loss_s1 + 0.5 * loss_s2
+
+        adv_weight = float(methods.get("ADV_WEIGHT", 0.0))
+        loss_adv = jnp.zeros(())
+        if adv_weight > 0:
+            loss_adv = -adv_weight * discrepancy(out_t["logits1"], out_t["logits2"])
+            loss_s = loss_s + loss_adv
+
+        if float(methods.get("TARGET_LOSS", 0.0)) > 0:
+            t_labels = (
+                label_s
+                if methods.get("TARGET_LOSS_USES_SOURCE_LABELS", False)
+                else label_t
+            )
+            loss_t1 = self.criterion(out_t["logits1"], t_labels)
+            loss_t2 = self.criterion(out_t["logits2"], t_labels)
+            loss = 0.5 * loss_s + 0.5 * (0.5 * loss_t1 + 0.5 * loss_t2)
+        else:
+            loss = float(methods.get("SRC_LOSS_WEIGHT", 1.0)) * loss_s
+
+        loss_cls = float(methods.get("CLS_WEIGHT", 1.0)) * loss
+        metrics = {"loss_cls": loss_cls, "loss_adv": loss_adv}
+
+        total = loss_cls
+        if mmd_on:
+            mmd_weight = float(methods["MMD_WEIGHT"])
+            geo_cfg = dict(methods["GEO_MMD"][0])
+            loss_geo = (
+                mmd_weight
+                * float(geo_cfg.get("GEO_SCALE", 1.0))
+                * mmd_cal(
+                    label_s,
+                    out_s["node_attn"],
+                    label_t,
+                    out_t["node_attn"],
+                    geo_cfg,
+                    data_s=data_s,
+                    data_t=data_t,
+                    num_class=self.num_class,
+                )
+            )
+            total = total + loss_geo
+            metrics["loss_geo"] = loss_geo
+
+            sem_cfg = dict(methods["SEM_MMD"][0])
+            if float(sem_cfg.get("SEM_SCALE", 1.0)) > 0:
+                sem_scale = float(sem_cfg.get("SEM_SCALE", 1.0))
+                l1 = sem_scale * mmd_cal(
+                    label_s, out_s["sem1"], label_t, out_t["sem1"], sem_cfg,
+                    data_s=out_s["logits1"], data_t=out_t["logits1"],
+                    num_class=self.num_class,
+                )
+                l2 = sem_scale * mmd_cal(
+                    label_s, out_s["sem2"], label_t, out_t["sem2"], sem_cfg,
+                    data_s=out_s["logits2"], data_t=out_t["logits2"],
+                    num_class=self.num_class,
+                )
+                loss_sem = mmd_weight * (0.5 * l1 + 0.5 * l2)
+                total = total + loss_sem
+                metrics["loss_sem"] = loss_sem
+
+        metrics["loss_total"] = total
+        return total, (new_stats, metrics)
+
+    def _train_step(self, state: DGTrainState, batch, key, scalars, mmd_on: bool):
+        """One fused step. ``batch`` = (data_s, label_s, data_t, label_t);
+        ``scalars`` = (lr_g, lr_c, lr_dis, grl_const)."""
+        data_s, label_s, data_t, label_t = batch
+        lr_g, lr_c, lr_dis, grl_const = scalars
+
+        if self.augment:
+            k_aug_s, k_aug_t, key = jax.random.split(key, 3)
+            data_s = augment_batch(k_aug_s, data_s)
+            data_t = augment_batch(k_aug_t, data_t)
+
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params,
+            state.batch_stats,
+            data_s,
+            label_s,
+            data_t,
+            label_t,
+            key,
+            grl_const,
+            mmd_on,
+        )
+        new_params, new_opt = self.optimizer.update(
+            grads, state.opt_state, state.params, lr_g, lr_c, lr_dis
+        )
+        new_state = DGTrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_step(
+        self,
+        state: DGTrainState,
+        data_s,
+        label_s,
+        data_t,
+        label_t,
+        key,
+        lr_g: float,
+        lr_c: float,
+        lr_dis: float,
+        grl_const: float = 0.0,
+        mmd_on: bool = True,
+    ) -> Tuple[DGTrainState, Dict[str, jax.Array]]:
+        batch = (
+            jnp.asarray(data_s),
+            jnp.asarray(label_s, dtype=jnp.int32),
+            jnp.asarray(data_t),
+            jnp.asarray(label_t, dtype=jnp.int32),
+        )
+        scalars = (
+            jnp.asarray(lr_g, jnp.float32),
+            jnp.asarray(lr_c, jnp.float32),
+            jnp.asarray(lr_dis, jnp.float32),
+            jnp.asarray(grl_const, jnp.float32),
+        )
+        fn = self._train_step_full if mmd_on else self._train_step_cls
+        return fn(state, batch, key, scalars)
