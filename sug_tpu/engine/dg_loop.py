@@ -1,0 +1,235 @@
+"""Full SUG DG training loop — the engine behind train_dg_single_gpu.py and
+(with a mesh) the working replacement for the reference's broken DDP trainer
+train_dg.py.
+
+Mirrors the reference epoch structure (train_dg_single_gpu.py:207-399):
+per-epoch LR schedules, the sin ramp GRL constant, PURE_CLS_EPOCH gating,
+paired source/target-split batches, per-epoch eval on source + 2 unseen
+datasets with best-acc tracking, checkpoint rotation.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from sug_tpu.data import (
+    BatchIterator,
+    ClassBalancedBatchIterator,
+    create_single_dataset,
+    create_splitted_dataset,
+    DATASET_LIST,
+)
+from sug_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+from sug_tpu.engine.dg_trainer import DGTrainer, make_criterion
+from sug_tpu.engine.evaluation import Evaluator, eval_worker
+from sug_tpu.engine.optim import cosine_lr, dis_lr_schedule
+from sug_tpu.parallel.mesh import make_mesh
+from sug_tpu.utils.config import ConfigDict, log_config_to_file
+from sug_tpu.utils.logging import MetricsWriter, create_logger, exp_log_folder_creator
+
+
+def _make_train_iter(dataset, cfg, batch_size, seed):
+    if cfg.get("METHODS", {}).get("CLASS_BALANCE", False) or cfg.get(
+        "CLASS_BALANCE", False
+    ):
+        return ClassBalancedBatchIterator(
+            dataset, batch_size=batch_size, class_per_batch=10, seed=seed
+        )
+    return BatchIterator(dataset, batch_size=batch_size, shuffle=True, seed=seed)
+
+
+def run_dg_training(args, cfg, num_points: int = 1024):
+    seed = 666 + int(cfg.get("LOCAL_RANK", 0))
+    np.random.seed(seed)
+
+    mesh = None
+    num_devices = args.num_devices or 1
+    if num_devices > 1 or args.launcher not in ("none",):
+        mesh = make_mesh(args.num_devices)
+        num_devices = mesh.devices.size
+    batch_size = args.batch_size * max(1, num_devices)
+
+    output_dir, ckpt_dir = exp_log_folder_creator(cfg, extra_tag=args.source)
+    log_name = "log_train_dg%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    logger = create_logger(log_file=os.path.join(output_dir, log_name))
+    writer = MetricsWriter(os.path.join(output_dir, "tensorboard"))
+
+    logger.info("**********************Start logging**********************")
+    for key, val in vars(args).items():
+        logger.info("{:16} {}".format(key, val))
+    log_config_to_file(cfg, logger=logger)
+    logger.info(f"The source domain is set to: {args.source}")
+
+    test_datasets = [d for d in DATASET_LIST if d != args.source]
+    logger.info(f"The datasets used for testing: {test_datasets}")
+    model_name = cfg.get("Model", "Pointnet")
+
+    # ------------------------------------------------------------- data
+    split_config = cfg["DATASET_SPLITTER"]
+    multi_spliter = isinstance(split_config, (list, tuple))
+    source_train_iters: List = []
+    target_train_iters: List = []
+    split_configs = list(split_config) if multi_spliter else [split_config]
+    source_train_dataset = None
+    for sc in split_configs:
+        subsets = create_splitted_dataset(
+            dataset_type=args.source, status="train", logger=logger, config=sc,
+            model=model_name, data_root=cfg.get("DATA_ROOT"),
+        )
+        src = subsets[sc["TRAIN_BASE"]]
+        tgt = subsets[1 - sc["TRAIN_BASE"]]
+        if source_train_dataset is None:
+            source_train_dataset = src
+        logger.info(
+            f"Num of source train: {len(src)}, Num of target train: {len(tgt)}"
+        )
+        source_train_iters.append(_make_train_iter(src, cfg, batch_size, seed))
+        target_train_iters.append(_make_train_iter(tgt, cfg, batch_size, seed + 1))
+
+    eval_sets = {
+        "source": create_single_dataset(
+            args.source, "test", model=model_name, data_root=cfg.get("DATA_ROOT")
+        ),
+        "test1": create_single_dataset(
+            test_datasets[0], "test", model=model_name, data_root=cfg.get("DATA_ROOT")
+        ),
+        "test2": create_single_dataset(
+            test_datasets[-1], "test", model=model_name, data_root=cfg.get("DATA_ROOT")
+        ),
+    }
+    dataset_remapping = {
+        "source": args.source, "test1": test_datasets[0], "test2": test_datasets[1]
+    }
+    logger.info(f"batch_size: {batch_size}")
+
+    # ------------------------------------------------------------ model
+    opt_cfg = cfg["OPTIMIZATION"]
+    criterion = make_criterion(opt_cfg, source_train_dataset, cfg["DATASET"]["NUM_CLASS"])
+    trainer = DGTrainer(
+        cfg,
+        model_name=model_name,
+        num_class=cfg["DATASET"]["NUM_CLASS"],
+        criterion=criterion,
+        mesh=mesh,
+        augment=True,
+    )
+    state = trainer.init_state(seed=seed, batch_size=batch_size, num_points=num_points)
+
+    start_epoch = 0
+    if args.resume:
+        restored = restore_checkpoint(args.resume, state)
+        state = restored["state"]
+        start_epoch = int(restored["epoch"])
+        logger.info(f"Resumed from {args.resume} at epoch {start_epoch}")
+
+    def eval_apply(params, batch_stats, data):
+        out = trainer.model.apply(
+            {"params": params, "batch_stats": batch_stats}, data, False
+        )
+        return (out["logits1"] + out["logits2"]) / 2.0
+
+    evaluator = Evaluator(
+        eval_apply, num_class=cfg["DATASET"]["NUM_CLASS"], criterion=criterion
+    )
+
+    max_epoch_num = opt_cfg["NUM_EPOCHES"]
+    LR = float(opt_cfg["LR"])
+    scaler = float(opt_cfg["LR_SCALER"])
+    pure_cls_epoch = int(cfg["METHODS"].get("PURE_CLS_EPOCH", 0))
+    mmd_weight = float(cfg["METHODS"].get("MMD_WEIGHT", 0.0))
+    cls_eval = bool(opt_cfg.get("CLS_EVAL", True))
+
+    best_test_acc: Dict[str, List] = {k: [0, 0.0] for k in eval_sets}
+    rng_key = jax.random.key(seed)
+
+    for epoch in range(start_epoch, max_epoch_num):
+        since_e = time.time()
+        lr_g = cosine_lr(LR, epoch, max_epoch_num)
+        lr_c = lr_g
+        lr_dis = dis_lr_schedule(LR, scaler, epoch)
+        writer.add_scalar("lr_g", lr_g, epoch)
+        writer.add_scalar("lr_c", lr_c, epoch)
+        writer.add_scalar("lr_dis", lr_dis, epoch)
+        cons = math.sin((epoch + 1) / max_epoch_num * math.pi / 2)
+        mmd_on = (epoch >= pure_cls_epoch) and (mmd_weight > 0)
+
+        idx = epoch % len(source_train_iters)
+        src_iter, tgt_iter = source_train_iters[idx], target_train_iters[idx]
+
+        totals = {"loss_cls": 0.0, "loss_adv": 0.0, "loss_geo": 0.0, "loss_sem": 0.0}
+        n_seen = 0
+        for batch_idx, ((ds_, ls_), (dt_, lt_)) in enumerate(zip(src_iter, tgt_iter)):
+            rng_key, step_key = jax.random.split(rng_key)
+            state, metrics = trainer.train_step(
+                state, ds_, ls_, dt_, lt_, step_key, lr_g, lr_c, lr_dis,
+                grl_const=cons, mmd_on=mmd_on,
+            )
+            bs = ds_.shape[0]
+            n_seen += bs
+            for k in totals:
+                if k in metrics:
+                    totals[k] += float(metrics[k]) * bs
+            if (batch_idx + 1) % 10 == 0:
+                logger.info(
+                    f"Train Epoch {epoch} [{n_seen}] loss_cls {totals['loss_cls'] / n_seen}"
+                )
+                if mmd_on:
+                    logger.info(
+                        f"loss_adv: {totals['loss_adv'] / n_seen} "
+                        f"loss_geo_mmd {totals['loss_geo'] / n_seen} "
+                        f"loss_sem_mmd {totals['loss_sem'] / n_seen}"
+                    )
+
+        denom = max(n_seen, 1)
+        writer.add_scalar("loss/cls", totals["loss_cls"] / denom, epoch)
+        writer.add_scalar("loss/adv", totals["loss_adv"] / denom, epoch)
+        writer.add_scalar("loss/mmd_geo", totals["loss_geo"] / denom, epoch)
+        writer.add_scalar("loss/mmd_sem", totals["loss_sem"] / denom, epoch)
+
+        # ------------------------------------------------------- evaluation
+        for name, dataset in eval_sets.items():
+            loader = BatchIterator(dataset, batch_size, shuffle=False, drop_last=False)
+            result = eval_worker(
+                {
+                    "evaluator": evaluator,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "dataloader": loader,
+                    "dataset": name,
+                    "dataset_name": dataset_remapping[name],
+                    "epoch": epoch,
+                    "best_target_acc": best_test_acc[name][1],
+                    "best_target_acc_epoch": best_test_acc[name][0],
+                    "cls_eval": cls_eval,
+                },
+                logger,
+            )
+            best_test_acc[name][1] = result["best_target_acc"]
+            best_test_acc[name][0] = result["best_target_acc_epoch"]
+            tag = f"acc/{name}_{dataset_remapping[name]}"
+            writer.add_scalar(tag + "_best_acc", result["best_target_acc"], epoch)
+            writer.add_scalar(tag + "_cur_acc", result["cur_target_acc"], epoch)
+
+        trained_epoch = epoch + 1
+        if trained_epoch % args.ckpt_save_interval == 0:
+            path = save_checkpoint(
+                ckpt_dir, args.source, trained_epoch, state,
+                max_ckpt_save_num=args.max_ckpt_save_num,
+            )
+            logger.info(f"Save current ckpt to {path}")
+
+        dt = time.time() - since_e
+        logger.info(
+            "The {} epoch takes {:.0f}m {:.0f}s".format(epoch, dt // 60, dt % 60)
+        )
+        logger.info("****************Finished One Epoch****************")
+
+    writer.close()
+    return best_test_acc
