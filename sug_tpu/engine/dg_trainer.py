@@ -148,6 +148,10 @@ class DGTrainer:
         fps_s = jax.random.randint(k_fps_s, (B,), 0, N)
         fps_t = jax.random.randint(k_fps_t, (B,), 0, N)
 
+        # KPConv's deformable layers sow fitting/repulsion terms into a
+        # 'regularizers' collection (reference p2p_fitting_regularizer added
+        # to the loss at train_dg_single_gpu.py:280-282)
+        mutable = ["batch_stats", "regularizers"]
         variables = {"params": params, "batch_stats": batch_stats}
         out_s, mut = self.model.apply(
             variables,
@@ -156,8 +160,9 @@ class DGTrainer:
             domain="source",
             fps_start=fps_s,
             rngs={"dropout": k_do_s},
-            mutable=["batch_stats"],
+            mutable=mutable,
         )
+        reg_s = mut.get("regularizers", {})
         variables = {"params": params, "batch_stats": mut["batch_stats"]}
         out_t, mut = self.model.apply(
             variables,
@@ -167,21 +172,26 @@ class DGTrainer:
             grl_constant=grl_const if self._grl else 0.0,
             fps_start=fps_t,
             rngs={"dropout": k_do_t},
-            mutable=["batch_stats"],
+            mutable=mutable,
         )
-        return out_s, out_t, mut["batch_stats"]
+        return out_s, out_t, mut["batch_stats"], reg_s
 
     def _loss(
         self, params, batch_stats, data_s, label_s, data_t, label_t, key, grl_const, mmd_on
     ):
         methods = self.cfg["METHODS"]
-        out_s, out_t, new_stats = self._forward_both(
+        out_s, out_t, new_stats, reg_sown = self._forward_both(
             params, batch_stats, data_s, data_t, key, grl_const
         )
 
         loss_s1 = self.criterion(out_s["logits1"], label_s)
         loss_s2 = self.criterion(out_s["logits2"], label_s)
         loss_s = 0.5 * loss_s1 + 0.5 * loss_s2
+
+        if self.model_name == "KPConv" and reg_sown:
+            from sug_tpu.models.kpconv import p2p_fitting_regularizer
+
+            loss_s = loss_s + p2p_fitting_regularizer(reg_sown)
 
         adv_weight = float(methods.get("ADV_WEIGHT", 0.0))
         loss_adv = jnp.zeros(())

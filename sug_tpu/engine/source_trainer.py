@@ -92,9 +92,15 @@ class SourceTrainer:
                 data,
                 True,
                 rngs={"dropout": key},
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "regularizers"],
             )
             loss = self.criterion(logits, label)
+            if self.model_name == "KPConv" and mut.get("regularizers"):
+                # deformable KPConv fitting/repulsion terms
+                # (reference train_source.py:122-124)
+                from sug_tpu.models.kpconv import p2p_fitting_regularizer
+
+                loss = loss + p2p_fitting_regularizer(mut["regularizers"])
             return loss, (mut["batch_stats"], logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(

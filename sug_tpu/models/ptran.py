@@ -1,0 +1,165 @@
+"""Point Transformer (Hengshuang) backbone.
+
+Reference: model/Ptran_transformer.py:9-46 (vector self-attention over
+kNN-16), model/Ptran_model.py (Backbone/PointTransformerCls), PTran_utils
+SA-with-kNN TransitionDown, and the DG generator PTran_g
+(model/Model.py:295-347).
+
+Vector attention: per-neighbor, per-CHANNEL attention logits
+``gamma(q - k + pos)`` softmaxed over the neighbor axis, aggregated against
+``v + pos`` — all Dense ops over channels-last tensors (MXU-friendly), the
+softmax/gather tail fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sug_tpu.models.layers import ConvBN
+from sug_tpu.ops.geometry import (
+    farthest_point_sample,
+    index_points,
+    knn_indices,
+    square_distance,
+)
+
+
+class VectorAttentionBlock(nn.Module):
+    """TransformerBlock (model/Ptran_transformer.py:9-46): d_points <->
+    d_model projections around vector attention with relative-position
+    encodings."""
+
+    d_points: int
+    d_model: int = 512
+    k: int = 16
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array, features: jax.Array) -> jax.Array:
+        knn_idx = knn_indices(xyz, min(self.k, xyz.shape[1]))  # (B, N, k)
+        knn_xyz = index_points(xyz, knn_idx)  # (B, N, k, 3)
+
+        pre = features
+        x = nn.Dense(self.d_model, name="fc1")(features)
+        q = nn.Dense(self.d_model, use_bias=False, name="w_qs")(x)
+        k = index_points(nn.Dense(self.d_model, use_bias=False, name="w_ks")(x), knn_idx)
+        v = index_points(nn.Dense(self.d_model, use_bias=False, name="w_vs")(x), knn_idx)
+
+        delta = xyz[:, :, None, :] - knn_xyz  # (B, N, k, 3)
+        pos = nn.Dense(self.d_model, name="fc_delta1")(delta)
+        pos = nn.Dense(self.d_model, name="fc_delta2")(nn.relu(pos))
+
+        attn = q[:, :, None, :] - k + pos
+        attn = nn.Dense(self.d_model, name="fc_gamma1")(attn)
+        attn = nn.Dense(self.d_model, name="fc_gamma2")(nn.relu(attn))
+        attn = jax.nn.softmax(attn / jnp.sqrt(float(self.d_model)), axis=-2)
+
+        res = jnp.einsum("bnkf,bnkf->bnf", attn, v + pos)
+        return nn.Dense(self.d_points, name="fc2")(res) + pre
+
+
+class TransitionDown(nn.Module):
+    """FPS to ``npoint`` + kNN grouping + shared MLP + neighborhood max
+    (PTran_utils SA with knn=True; model/Ptran_model.py:9-15)."""
+
+    npoint: int
+    nneighbor: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        feats: jax.Array,
+        train: bool,
+        fps_start: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        fps_idx = farthest_point_sample(xyz, self.npoint, fps_start)
+        new_xyz = index_points(xyz, fps_idx)
+        dists = square_distance(new_xyz, xyz)
+        _, idx = jax.lax.top_k(-dists, min(self.nneighbor, xyz.shape[1]))
+        grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+        grouped = jnp.concatenate([grouped_xyz, index_points(feats, idx)], axis=-1)
+        for i, width in enumerate(self.mlp):
+            grouped = ConvBN(width, name=f"mlp{i}")(grouped, train)
+        return new_xyz, jnp.max(grouped, axis=2)
+
+
+class PointTransformerBackbone(nn.Module):
+    """fc(3->32) -> transformer -> 4 x (TransitionDown /4 pts, ch x2 +
+    transformer). Returns (final feats (B, N/256, 512), per-level list)."""
+
+    nblocks: int = 4
+    nneighbor: int = 16
+    transformer_dim: int = 512
+
+    @nn.compact
+    def __call__(
+        self,
+        pc: jax.Array,
+        train: bool,
+        fps_start: Optional[jax.Array] = None,
+    ):
+        N = pc.shape[1]
+        xyz = pc
+        x = nn.Dense(32, name="fc1a")(pc)
+        x = nn.Dense(32, name="fc1b")(nn.relu(x))
+        points = VectorAttentionBlock(32, self.transformer_dim, self.nneighbor,
+                                      name="transformer1")(xyz, x)
+        levels = [(xyz, points)]
+        for i in range(self.nblocks):
+            channel = 32 * 2 ** (i + 1)
+            xyz, points = TransitionDown(
+                max(N // 4 ** (i + 1), 1), self.nneighbor, (channel, channel),
+                name=f"td{i}",
+            )(xyz, points, train, fps_start if i == 0 else None)
+            points = VectorAttentionBlock(
+                channel, self.transformer_dim, self.nneighbor, name=f"transformer{i + 2}"
+            )(xyz, points)
+            levels.append((xyz, points))
+        return points, levels
+
+
+class PointTransformerGenerator(nn.Module):
+    """DG generator (model/Model.py:295-347): global = mean over the final
+    4 points (512-d); node features from level 2 ((B, 64, 128)) reduced to
+    (B, 64, 64) by the reference's stride-2 point-mixing Conv1d — that torch
+    Conv1d treats the 64 POINTS as channels and strides over the 128 feature
+    dims (model/Model.py:314,331), reproduced here as a feature-stride + a
+    Dense over the point axis."""
+
+    @nn.compact
+    def __call__(
+        self,
+        pc: jax.Array,
+        train: bool,
+        fps_start: Optional[jax.Array] = None,
+    ):
+        points, levels = PointTransformerBackbone(name="backbone")(pc, train, fps_start)
+        node_128 = levels[2][1]  # (B, N/16, 128) -> (B, 64, 128) at N=1024
+        strided = node_128[:, :, ::2]  # (B, 64, 64): stride 2 over features
+        mixed = jnp.swapaxes(strided, 1, 2)  # (B, 64feat, 64pts)
+        node_fea = nn.Dense(64, name="point_mix")(mixed)  # Dense over points
+        global_feat = jnp.mean(points, axis=1)  # (B, 512)
+        return global_feat, node_fea, None
+
+
+class PointTransformerClassifier(nn.Module):
+    """Standalone classifier (model/Ptran_model.py:94-117): backbone ->
+    mean-pool -> 256 -> 64 -> num_class; mid feature = the 256-d activation."""
+
+    num_class: int = 10
+
+    @nn.compact
+    def __call__(self, pc: jax.Array, train: bool):
+        points, _ = PointTransformerBackbone(name="backbone")(pc, train)
+        x = jnp.mean(points, axis=1)
+        x = nn.Dense(256, name="fc2a")(x)
+        mid_feature = x
+        x = nn.relu(x)
+        x = nn.relu(nn.Dense(64, name="fc2b")(x))
+        logits = nn.Dense(self.num_class, name="fc2c")(x)
+        return logits, mid_feature
