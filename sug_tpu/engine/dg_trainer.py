@@ -169,7 +169,7 @@ class DGTrainer:
             data_t,
             True,
             domain="target",
-            grl_constant=grl_const if self._grl else 0.0,
+            grl_constant=grl_const if self._grl else None,
             fps_start=fps_t,
             rngs={"dropout": k_do_t},
             mutable=mutable,

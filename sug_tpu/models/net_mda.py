@@ -92,7 +92,7 @@ class NetMDA(nn.Module):
         pc: jax.Array,
         train: bool = True,
         domain: Optional[str] = None,
-        grl_constant: float = 0.0,
+        grl_constant: Optional[jax.Array] = None,
         fps_start: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         feat, node_fea, node_off = self.g(pc, train, fps_start)
@@ -106,7 +106,9 @@ class NetMDA(nn.Module):
             attn_t = self.attention_t(node_flat, train)
             out["node_attn_t" if domain == "both" else "node_attn"] = attn_t
 
-        if grl_constant > 0.0:
+        # GRL gating is static (None = off); the constant itself may be a
+        # traced per-epoch scalar (the sin ramp)
+        if grl_constant is not None:
             feat = grad_reverse(feat, jnp.asarray(grl_constant, feat.dtype))
 
         logits1, sem1 = self.c1(feat, train)
