@@ -150,12 +150,19 @@ def _load_from_offline_splitter(
 ) -> Dict:
     """Consume the offline splitter's cluster npy files
     (utils/train_files_spliter.py:165-253)."""
+    # the reference's offline tool writes to 'spliter' but its train-time
+    # loader reads the hard-coded 'DGCNN_spliter' (SURVEY.md §2.7) — accept
+    # both, preferring the reference read location when it exists
     spliter_path = os.path.join(dataset_path, "DGCNN_spliter")
     if not os.path.exists(spliter_path):
-        raise RuntimeError(
-            "No Spliter Folder Found, Need to Generate Dataset Cluster First! "
-            f"(expected {spliter_path}; run tools/dataset_splitter.py)"
-        )
+        alt = os.path.join(dataset_path, "spliter")
+        if os.path.exists(alt):
+            spliter_path = alt
+        else:
+            raise RuntimeError(
+                "No Spliter Folder Found, Need to Generate Dataset Cluster First! "
+                f"(expected {spliter_path} or {alt}; run dataset_splitter.py)"
+            )
 
     s1_pts, s1_lbl, s2_pts, s2_lbl = [], [], [], []
 
