@@ -1,0 +1,110 @@
+"""Native C++ data runtime vs the Python pipeline: identical semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sug_tpu import native
+from sug_tpu.data import PointCloudDataset, make_synthetic_pointda
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native loader not built and no compiler"
+)
+
+
+@pytest.fixture
+def dumps(tmp_path):
+    pts, labels = make_synthetic_pointda(num_per_class=6, num_points=64)
+    pp = tmp_path / "train_pts.npy"
+    lp = tmp_path / "train_label.npy"
+    np.save(pp, pts)
+    np.save(lp, labels)
+    return str(pp), str(lp), pts, labels
+
+
+class TestNativeDataset:
+    def test_matches_python_ingest(self, dumps):
+        pp, lp, pts, labels = dumps
+        nds = native.NativePointCloudDataset(pp, lp, num_points=64)
+        npts, nlabels = nds.arrays()
+        pds = PointCloudDataset("modelnet", pts, labels, num_points=64)
+        assert len(nds) == len(pds) == 60
+        np.testing.assert_array_equal(nlabels, pds.labels)
+        # same normalization math (no subsample at equal point counts)
+        np.testing.assert_allclose(npts, pds.pts, atol=1e-5)
+        assert nds.cls_num_counter == pds.cls_num_counter
+
+    def test_fixed_x_rotation(self, dumps):
+        pp, lp, pts, labels = dumps
+        plain = native.NativePointCloudDataset(pp, lp, num_points=64)
+        rot = native.NativePointCloudDataset(pp, lp, num_points=64, fixed_x_rotation=True)
+        a, _ = plain.arrays()
+        b, _ = rot.arrays()
+        pds = PointCloudDataset("scannet", pts, labels, num_points=64, model="DGCNN")
+        np.testing.assert_allclose(b, pds.pts, atol=1e-5)
+        assert not np.allclose(a, b)
+
+    def test_pad_and_subsample(self, dumps):
+        pp, lp, pts, labels = dumps
+        padded = native.NativePointCloudDataset(pp, lp, num_points=96)
+        p, _ = padded.arrays()
+        assert p.shape == (60, 96, 3)
+        np.testing.assert_allclose(p[:, 64:], 0.0)
+        sub = native.NativePointCloudDataset(pp, lp, num_points=32)
+        s, _ = sub.arrays()
+        assert s.shape == (60, 32, 3)
+
+    def test_int64_and_float64_npy(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(5, 16, 3)).astype(np.float64)
+        labels = np.arange(5, dtype=np.int64)
+        np.save(tmp_path / "p.npy", pts)
+        np.save(tmp_path / "l.npy", labels)
+        ds = native.NativePointCloudDataset(
+            str(tmp_path / "p.npy"), str(tmp_path / "l.npy"), num_points=16
+        )
+        _, lbl = ds.arrays()
+        np.testing.assert_array_equal(lbl, labels.astype(np.int32))
+
+
+class TestNativeIterator:
+    def test_epoch_coverage(self, dumps):
+        pp, lp, *_ = dumps
+        ds = native.NativePointCloudDataset(pp, lp, num_points=64)
+        it = native.NativeBatchIterator(ds, batch_size=10, shuffle=True, seed=1)
+        assert len(it) == 6
+        seen_labels = []
+        batches = list(it)
+        assert len(batches) == 6
+        for bp, bl in batches:
+            assert bp.shape == (10, 64, 3)
+            seen_labels.extend(bl.tolist())
+        assert len(seen_labels) == 60
+
+    def test_shuffle_changes_across_epochs(self, dumps):
+        pp, lp, *_ = dumps
+        ds = native.NativePointCloudDataset(pp, lp, num_points=64)
+        it = native.NativeBatchIterator(ds, batch_size=10, shuffle=True, seed=2)
+        e1 = np.concatenate([l for _, l in it])
+        e2 = np.concatenate([l for _, l in it])
+        assert sorted(e1.tolist()) == sorted(e2.tolist())
+        assert (e1 != e2).any()
+
+    def test_class_balanced(self, dumps):
+        pp, lp, *_ = dumps
+        ds = native.NativePointCloudDataset(pp, lp, num_points=64)
+        it = native.NativeBatchIterator(
+            ds, batch_size=20, class_balance=True, class_per_batch=10, seed=3
+        )
+        for bp, bl in it:
+            assert bp.shape == (20, 64, 3)
+            assert set(bl.tolist()) <= set(range(10))
+
+    def test_wrap_tail_when_not_drop_last(self, dumps):
+        pp, lp, *_ = dumps
+        ds = native.NativePointCloudDataset(pp, lp, num_points=64)
+        it = native.NativeBatchIterator(ds, batch_size=16, drop_last=False, seed=4)
+        batches = list(it)
+        assert len(batches) == 4  # ceil(60/16)
+        for bp, _ in batches:
+            assert bp.shape == (16, 64, 3)  # fixed shape, tail wrapped
