@@ -260,6 +260,96 @@ def make_synthetic_pointda(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# legacy per-file dataset loaders (reference data/dataloader.py:99-241 —
+# Modelnet40_data / Shapenet_data / Scannet_data_h5, used by train_uda /
+# train_source before the unified dumps existed). Each returns raw
+# (list_of_clouds, labels) ready for PointCloudDataset.
+# ---------------------------------------------------------------------------
+
+
+def load_modelnet_files(pc_root: str, status: str = "train", pc_input_num: int = 1024):
+    """Per-file npy tree: <root>/<class>/<split>/*.npy (reference
+    Modelnet40_data)."""
+    categories = sorted(
+        c.split(os.path.sep)[-1]
+        for c in glob.glob(os.path.join(pc_root, "*"))
+        if os.path.isdir(c)
+    )
+    files = sorted(glob.glob(os.path.join(pc_root, "*", status, "*.npy")))
+    pts, labels = [], []
+    for f in files:
+        pc = np.load(f)[:pc_input_num].astype(np.float32)
+        if pc.shape[0] < pc_input_num:
+            pad = np.zeros((pc_input_num - pc.shape[0], pc.shape[1]), np.float32)
+            pc = np.concatenate([pc, pad], 0)
+        pts.append(pc[:, :3])
+        labels.append(categories.index(f.split(os.path.sep)[-3]))
+    return np.stack(pts), np.asarray(labels, dtype=np.int64)
+
+
+def load_shapenet_files(
+    pc_root: str, status: str = "train", pc_input_num: int = 1024, data_type: str = "*.npy"
+):
+    """Per-file npy/pts tree (reference Shapenet_data, incl. the .pts text
+    parser and zero-padding)."""
+    categories = sorted(
+        c.split(os.path.sep)[-1]
+        for c in glob.glob(os.path.join(pc_root, "*"))
+        if os.path.isdir(c)
+    )
+    files = sorted(glob.glob(os.path.join(pc_root, "*", status, data_type)))
+    pts, labels = [], []
+    for f in files:
+        if data_type == "*.pts":
+            rows = [
+                [float(v) for v in line.split(" ")]
+                for line in open(f)
+                if len(line.split(" ")) == 3
+            ]
+            pc = np.asarray(rows, dtype=np.float32)[:pc_input_num]
+        else:
+            pc = np.load(f)[:pc_input_num].astype(np.float32)
+        if pc.shape[0] < pc_input_num:
+            pad = np.zeros((pc_input_num - pc.shape[0], pc.shape[1]), np.float32)
+            pc = np.concatenate([pc, pad], 0)
+        pts.append(pc[:, :3])
+        labels.append(categories.index(f.split(os.path.sep)[-3]))
+    return np.stack(pts), np.asarray(labels, dtype=np.int64)
+
+
+def load_scannet_h5(pc_root: str, status: str = "train"):
+    """h5 shards listed in {split}_files.txt (reference Scannet_data_h5)."""
+    import h5py
+
+    with open(os.path.join(pc_root, f"{status}_files.txt")) as f:
+        files = [os.path.join(pc_root, line.rstrip().split("/")[-1]) for line in f]
+    points, labels = [], []
+    for pth in files:
+        with h5py.File(pth, "r") as hf:
+            points.append(hf["data"][:])
+            labels.append(hf["label"][:])
+    return np.concatenate(points, 0), np.concatenate(labels, 0)
+
+
+def rename_npy_files(data_path: str, start_counter: int = 500000) -> None:
+    """Re-number per-file npy dumps to avoid index collisions (reference
+    utils/train_files_spliter.py:382-400, used for ShapeNet/plant)."""
+    counter = start_counter
+    for split in ("train", "test"):
+        full = os.path.join(data_path, split)
+        if not os.path.isdir(full):
+            continue
+        for name in sorted(os.listdir(full)):
+            if not name.endswith(".npy"):
+                continue
+            old = os.path.join(full, name)
+            pts = np.load(old)
+            np.save(os.path.join(full, f"{counter}.npy"), pts)
+            os.remove(old)
+            counter += 1
+
+
 def extract_scannet_to_npy(scannet_path: str) -> None:
     """h5 shards listed in {train,test}_files.txt -> unified npy dumps."""
     import h5py

@@ -1,0 +1,131 @@
+"""Point Feature Histogram descriptors (PFH / SPFH / FPFH), TPU-native.
+
+Reference: utils/pfh.py (660 LoC) — exploratory dataset-distance analysis
+with per-cloud python loops + a multiprocessing pool. Here the whole
+descriptor — normal estimation (neighborhood PCA), Darboux-frame angle
+features (alpha, phi, theta), histogram binning, FPFH distance weighting —
+is a jittable, vmappable jax program: one call descriptors a full batch of
+clouds on device.
+
+API surface kept: ``get_pfh_descriptor(pcs, method)`` -> per-cloud pooled
+histograms, ``pfh_hist_distance(histS, histT)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sug_tpu.ops.geometry import index_points, knn_indices, square_distance
+
+
+def estimate_normals(pc: jax.Array, k: int = 8) -> jax.Array:
+    """Per-point normals via neighborhood-covariance PCA.
+
+    Args:
+        pc: (B, N, 3)
+    Returns:
+        (B, N, 3) unit normals (sign-disambiguated toward the origin view,
+        reference PFH.calc_normals semantics, utils/pfh.py:270-301).
+    """
+    idx = knn_indices(pc, k)
+    nbrs = index_points(pc, idx)  # (B, N, k, 3)
+    centered = nbrs - jnp.mean(nbrs, axis=2, keepdims=True)
+    cov = jnp.einsum("bnki,bnkj->bnij", centered, centered) / k
+    # eigenvector of the smallest eigenvalue
+    _, eigvecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    normals = eigvecs[..., 0]  # (B, N, 3)
+    # orient toward the viewpoint (origin): flip if n . (vp - p) < 0
+    flip = jnp.sum(normals * (-pc), axis=-1, keepdims=True) < 0
+    return jnp.where(flip, -normals, normals)
+
+
+def darboux_features(
+    p1: jax.Array, n1: jax.Array, p2: jax.Array, n2: jax.Array
+) -> jax.Array:
+    """(alpha, phi, theta) angle features between oriented point pairs
+    (reference calcHistArray math, utils/pfh.py:303-349). Inputs broadcast;
+    returns (..., 3)."""
+    d = p2 - p1
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+    u = n1
+    v = jnp.cross(d / dist, u)
+    w = jnp.cross(u, v)
+    alpha = jnp.sum(v * n2, axis=-1)
+    phi = jnp.sum(u * d, axis=-1) / dist[..., 0]
+    theta = jnp.arctan2(jnp.sum(w * n2, axis=-1), jnp.sum(u * n2, axis=-1))
+    return jnp.stack([alpha, phi, theta], axis=-1)
+
+
+def _bin_features(feats: jax.Array, div: int) -> jax.Array:
+    """Histogram the 3 angle features into div bins each, concatenated
+    (SPFH binning; the reference's full-PFH uses div^3 joint bins — the
+    concatenated marginal variant is the standard FPFH formulation)."""
+    # feature ranges: alpha, phi in [-1, 1]; theta in [-pi, pi]
+    lo = jnp.array([-1.0, -1.0, -np.pi])
+    hi = jnp.array([1.0, 1.0, np.pi])
+    scaled = (feats - lo) / (hi - lo)  # (..., K, 3) in [0, 1]
+    bins = jnp.clip((scaled * div).astype(jnp.int32), 0, div - 1)
+    onehots = jax.nn.one_hot(bins, div)  # (..., K, 3, div)
+    hist = jnp.mean(onehots, axis=-3)  # (..., 3, div)
+    return hist.reshape(hist.shape[:-2] + (3 * div,))
+
+
+def spfh(pc: jax.Array, normals: jax.Array, k: int = 8, div: int = 5) -> jax.Array:
+    """Simplified PFH per point: angle features against the k neighbors,
+    binned. (B, N, 3) -> (B, N, 3*div)."""
+    idx = knn_indices(pc, k)
+    nbr_p = index_points(pc, idx)  # (B, N, k, 3)
+    nbr_n = index_points(normals, idx)
+    feats = darboux_features(
+        pc[:, :, None, :], normals[:, :, None, :], nbr_p, nbr_n
+    )  # (B, N, k, 3)
+    return _bin_features(feats, div)
+
+
+def fpfh(pc: jax.Array, normals: jax.Array, k: int = 8, div: int = 5) -> jax.Array:
+    """Fast PFH: SPFH + inverse-distance-weighted neighbor SPFH average
+    (reference FPFH.calcHistArray, utils/pfh.py:597+)."""
+    s = spfh(pc, normals, k, div)  # (B, N, D)
+    idx = knn_indices(pc, k)
+    nbr_s = index_points(s, idx)  # (B, N, k, D)
+    nbr_p = index_points(pc, idx)
+    dist = jnp.linalg.norm(nbr_p - pc[:, :, None, :], axis=-1) + 1e-6
+    w = 1.0 / dist  # (B, N, k)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return s + jnp.einsum("bnk,bnkd->bnd", w, nbr_s)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def pfh_descriptor_batch(
+    pc: jax.Array, method: str = "FPFH", k: int = 8, div: int = 5
+) -> jax.Array:
+    """Per-cloud pooled descriptor: mean of per-point histograms.
+    (B, N, 3) -> (B, 3*div)."""
+    normals = estimate_normals(pc, k)
+    per_point = fpfh(pc, normals, k, div) if method == "FPFH" else spfh(pc, normals, k, div)
+    return jnp.mean(per_point, axis=1)
+
+
+def get_pfh_descriptor(pcs: np.ndarray, method: str = "PFH", k: int = 8, div: int = 5):
+    """Reference driver parity (utils/pfh.py:116-144): descriptor per cloud
+    over a full dataset array — batched on device instead of a process pool."""
+    pcs = np.asarray(pcs, dtype=np.float32)[..., :3]
+    out = []
+    B = 64
+    for i in range(0, len(pcs), B):
+        out.append(np.asarray(pfh_descriptor_batch(jnp.asarray(pcs[i : i + B]), method, k, div)))
+    return np.concatenate(out)
+
+
+def pfh_hist_distance(histS: np.ndarray, histT: np.ndarray) -> float:
+    """Chi-square histogram distance between pooled descriptors
+    (reference utils/pfh.py:146-160)."""
+    s = np.asarray(histS, dtype=np.float64).mean(0) if histS.ndim > 1 else histS
+    t = np.asarray(histT, dtype=np.float64).mean(0) if histT.ndim > 1 else histT
+    denom = s + t
+    denom[denom == 0] = 1.0
+    return float(0.5 * np.sum((s - t) ** 2 / denom))
