@@ -151,6 +151,22 @@ def run_dg_training(args, cfg, num_points: int = 1024):
     best_test_acc: Dict[str, List] = {k: [0, 0.0] for k in eval_sets}
     rng_key = jax.random.key(seed)
 
+    # preemption-aware checkpointing: SIGTERM/SIGINT requests a save at the
+    # next epoch boundary (TPU-pod preemptions send SIGTERM; the reference
+    # had no recovery story — SURVEY.md §5 failure detection)
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not the main thread
+
     for epoch in range(start_epoch, max_epoch_num):
         since_e = time.time()
         lr_g = cosine_lr(LR, epoch, max_epoch_num)
@@ -234,12 +250,18 @@ def run_dg_training(args, cfg, num_points: int = 1024):
             writer.add_scalar(tag + "_cur_acc", result["cur_target_acc"], epoch)
 
         trained_epoch = epoch + 1
-        if trained_epoch % args.ckpt_save_interval == 0:
+        if trained_epoch % args.ckpt_save_interval == 0 or preempted["flag"]:
             path = save_checkpoint(
                 ckpt_dir, args.source, trained_epoch, state,
                 max_ckpt_save_num=args.max_ckpt_save_num,
             )
             logger.info(f"Save current ckpt to {path}")
+        if preempted["flag"]:
+            logger.info(
+                "Preemption signal received — checkpoint saved, exiting "
+                f"(resume with --resume {ckpt_dir}/...)"
+            )
+            break
 
         dt = time.time() - since_e
         logger.info(

@@ -218,10 +218,16 @@ class DGTrainer:
         if mmd_on:
             mmd_weight = float(methods["MMD_WEIGHT"])
             geo_cfg = dict(methods["GEO_MMD"][0])
-            loss_geo = (
-                mmd_weight
-                * float(geo_cfg.get("GEO_SCALE", 1.0))
-                * mmd_cal(
+            if geo_cfg["NAME"] == "CL":
+                # contrastive alternative (reference builds a
+                # CosineEmbeddingLoss criterion, train_dg_single_gpu.py:236-242)
+                from sug_tpu.losses.mmd import contrastive_loss_weighted
+
+                geo_align = contrastive_loss_weighted(
+                    label_s, out_s["node_attn"], label_t, out_t["node_attn"]
+                )
+            else:
+                geo_align = mmd_cal(
                     label_s,
                     out_s["node_attn"],
                     label_t,
@@ -231,23 +237,33 @@ class DGTrainer:
                     data_t=data_t,
                     num_class=self.num_class,
                 )
-            )
+            loss_geo = mmd_weight * float(geo_cfg.get("GEO_SCALE", 1.0)) * geo_align
             total = total + loss_geo
             metrics["loss_geo"] = loss_geo
 
             sem_cfg = dict(methods["SEM_MMD"][0])
             if float(sem_cfg.get("SEM_SCALE", 1.0)) > 0:
                 sem_scale = float(sem_cfg.get("SEM_SCALE", 1.0))
-                l1 = sem_scale * mmd_cal(
-                    label_s, out_s["sem1"], label_t, out_t["sem1"], sem_cfg,
-                    data_s=out_s["logits1"], data_t=out_t["logits1"],
-                    num_class=self.num_class,
-                )
-                l2 = sem_scale * mmd_cal(
-                    label_s, out_s["sem2"], label_t, out_t["sem2"], sem_cfg,
-                    data_s=out_s["logits2"], data_t=out_t["logits2"],
-                    num_class=self.num_class,
-                )
+                if sem_cfg["NAME"] == "CL":
+                    from sug_tpu.losses.mmd import contrastive_loss_weighted
+
+                    l1 = sem_scale * contrastive_loss_weighted(
+                        label_s, out_s["sem1"], label_t, out_t["sem1"]
+                    )
+                    l2 = sem_scale * contrastive_loss_weighted(
+                        label_s, out_s["sem2"], label_t, out_t["sem2"]
+                    )
+                else:
+                    l1 = sem_scale * mmd_cal(
+                        label_s, out_s["sem1"], label_t, out_t["sem1"], sem_cfg,
+                        data_s=out_s["logits1"], data_t=out_t["logits1"],
+                        num_class=self.num_class,
+                    )
+                    l2 = sem_scale * mmd_cal(
+                        label_s, out_s["sem2"], label_t, out_t["sem2"], sem_cfg,
+                        data_s=out_s["logits2"], data_t=out_t["logits2"],
+                        num_class=self.num_class,
+                    )
                 loss_sem = mmd_weight * (0.5 * l1 + 0.5 * l2)
                 total = total + loss_sem
                 metrics["loss_sem"] = loss_sem
