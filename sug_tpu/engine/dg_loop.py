@@ -34,7 +34,7 @@ from sug_tpu.engine.optim import cosine_lr, dis_lr_schedule
 from sug_tpu.parallel.mesh import make_mesh
 from sug_tpu.utils.config import ConfigDict, log_config_to_file
 from sug_tpu.utils.logging import MetricsWriter, create_logger, exp_log_folder_creator
-from sug_tpu.utils.profiling import StepTimer, trace
+from sug_tpu.utils.profiling import trace
 
 
 def _make_train_iter(dataset, cfg, batch_size, seed):
@@ -181,49 +181,52 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         idx = epoch % len(source_train_iters)
         src_iter, tgt_iter = source_train_iters[idx], target_train_iters[idx]
 
-        totals = {"loss_cls": 0.0, "loss_adv": 0.0, "loss_geo": 0.0, "loss_sem": 0.0}
+        # Hot loop: metrics stay on-device (no per-step host sync — steps
+        # pipeline behind async dispatch); they're pulled once per epoch.
+        pending = []  # (batch_size, device-metrics dict)
         n_seen = 0
-        timer = StepTimer(warmup=1)
+        t_epoch = time.perf_counter()
         epoch_trace = trace() if epoch == start_epoch else contextlib.nullcontext()
         with epoch_trace:
             for batch_idx, ((ds_, ls_), (dt_, lt_)) in enumerate(zip(src_iter, tgt_iter)):
                 rng_key, step_key = jax.random.split(rng_key)
-                timer.start()
                 state, metrics = trainer.train_step(
                     state, ds_, ls_, dt_, lt_, step_key, lr_g, lr_c, lr_dis,
                     grl_const=cons, mmd_on=mmd_on,
                 )
-                loss_total = float(metrics["loss_total"])  # syncs the step
-                timer.stop(clouds=2 * ds_.shape[0])
                 bs = ds_.shape[0]
                 n_seen += bs
-                for k in totals:
-                    if k in metrics:
-                        totals[k] += float(metrics[k]) * bs
-                if (batch_idx + 1) % 10 == 0:
-                    logger.info(
-                        f"Train Epoch {epoch} [{n_seen}] loss_cls {totals['loss_cls'] / n_seen}"
-                    )
-                    if mmd_on:
-                        logger.info(
-                            f"loss_adv: {totals['loss_adv'] / n_seen} "
-                            f"loss_geo_mmd {totals['loss_geo'] / n_seen} "
-                            f"loss_sem_mmd {totals['loss_sem'] / n_seen}"
-                        )
+                pending.append((bs, metrics))
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        epoch_sec = time.perf_counter() - t_epoch
+
+        totals = {"loss_cls": 0.0, "loss_adv": 0.0, "loss_geo": 0.0, "loss_sem": 0.0}
+        for bs, metrics in pending:
+            for k in totals:
+                if k in metrics:
+                    totals[k] += float(metrics[k]) * bs
+        if pending:
+            logger.info(
+                f"Train Epoch {epoch} [{n_seen}] loss_cls {totals['loss_cls'] / n_seen}"
+            )
+            if mmd_on:
+                logger.info(
+                    f"loss_adv: {totals['loss_adv'] / n_seen} "
+                    f"loss_geo_mmd {totals['loss_geo'] / n_seen} "
+                    f"loss_sem_mmd {totals['loss_sem'] / n_seen}"
+                )
 
         denom = max(n_seen, 1)
         writer.add_scalar("loss/cls", totals["loss_cls"] / denom, epoch)
         writer.add_scalar("loss/adv", totals["loss_adv"] / denom, epoch)
         writer.add_scalar("loss/mmd_geo", totals["loss_geo"] / denom, epoch)
         writer.add_scalar("loss/mmd_sem", totals["loss_sem"] / denom, epoch)
-        if timer.steps_timed > 0:
-            cps = timer.clouds_per_sec(n_chips=max(num_devices, 1))
+        if n_seen and epoch_sec > 0:
+            cps = 2 * n_seen / epoch_sec / max(num_devices, 1)
+            ms = epoch_sec / max(len(pending), 1) * 1000.0
             writer.add_scalar("perf/clouds_per_sec_per_chip", cps, epoch)
-            writer.add_scalar("perf/ms_per_step", timer.ms_per_step(), epoch)
-            logger.info(
-                f"throughput: {cps:.0f} clouds/sec/chip "
-                f"({timer.ms_per_step():.1f} ms/step)"
-            )
+            writer.add_scalar("perf/ms_per_step", ms, epoch)
+            logger.info(f"throughput: {cps:.0f} clouds/sec/chip ({ms:.1f} ms/step)")
 
         # ------------------------------------------------------- evaluation
         for name, dataset in eval_sets.items():

@@ -102,19 +102,25 @@ def run_source_training(args, cfg, num_points: int = 1024):
         lr = cosine_lr(LR, epoch, max_epoch_num)
         writer.add_scalar("lr", lr, epoch)
 
-        loss_total, n_seen = 0.0, 0
+        # metrics stay on-device during the hot loop (no per-step sync)
+        pending, n_seen = [], 0
+        t_epoch = time.perf_counter()
         for batch_idx, (data, label) in enumerate(train_iter):
             rng_key, k = jax.random.split(rng_key)
             state, metrics = trainer.train_step(state, data, label, k, lr)
-            loss_total += float(metrics["loss"]) * data.shape[0]
+            pending.append((data.shape[0], metrics["loss"]))
             n_seen += data.shape[0]
-            if (batch_idx + 1) % 10 == 0:
-                logger.info(
-                    "Train:{} [{} /{}  loss: {:.4f}]".format(
-                        epoch, n_seen, len(train_dataset), loss_total / n_seen
-                    )
-                )
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        epoch_sec = time.perf_counter() - t_epoch
+        loss_total = sum(float(l) * bs for bs, l in pending)
+        logger.info(
+            "Train:{} [{} /{}  loss: {:.4f}]  throughput: {:.0f} clouds/sec".format(
+                epoch, n_seen, len(train_dataset),
+                loss_total / max(n_seen, 1), n_seen / max(epoch_sec, 1e-9),
+            )
+        )
         writer.add_scalar("loss/train", loss_total / max(n_seen, 1), epoch)
+        writer.add_scalar("perf/clouds_per_sec", n_seen / max(epoch_sec, 1e-9), epoch)
 
         for name, dataset in eval_sets.items():
             loader = BatchIterator(dataset, batch_size, shuffle=False, drop_last=False)
