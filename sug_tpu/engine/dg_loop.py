@@ -201,7 +201,9 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         epoch_sec = time.perf_counter() - t_epoch
 
         totals = {"loss_cls": 0.0, "loss_adv": 0.0, "loss_geo": 0.0, "loss_sem": 0.0}
-        for bs, metrics in pending:
+        # single batched device->host transfer for all step metrics
+        fetched = jax.device_get([m for _, m in pending])
+        for (bs, _), metrics in zip(pending, fetched):
             for k in totals:
                 if k in metrics:
                     totals[k] += float(metrics[k]) * bs

@@ -112,7 +112,8 @@ def run_source_training(args, cfg, num_points: int = 1024):
             n_seen += data.shape[0]
         jax.tree.leaves(state.params)[0].block_until_ready()
         epoch_sec = time.perf_counter() - t_epoch
-        loss_total = sum(float(l) * bs for bs, l in pending)
+        losses = jax.device_get([l for _, l in pending])  # one batched fetch
+        loss_total = sum(float(l) * bs for (bs, _), l in zip(pending, losses))
         logger.info(
             "Train:{} [{} /{}  loss: {:.4f}]  throughput: {:.0f} clouds/sec".format(
                 epoch, n_seen, len(train_dataset),
