@@ -130,6 +130,15 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         state = restored["state"]
         start_epoch = int(restored["epoch"])
         logger.info(f"Resumed from {args.resume} at epoch {start_epoch}")
+    elif getattr(args, "pretrained_model", None):
+        # warm-start from model weights only (the reference accepts
+        # --pretrained_model but no trainer ever loads it, SURVEY.md §5)
+        restored = restore_checkpoint(args.pretrained_model, state)
+        state = state.replace(
+            params=restored["state"].params,
+            batch_stats=restored["state"].batch_stats,
+        )
+        logger.info(f"Warm-started weights from {args.pretrained_model}")
 
     def eval_apply(params, batch_stats, data):
         out = trainer.model.apply(

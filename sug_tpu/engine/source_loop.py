@@ -88,6 +88,13 @@ def run_source_training(args, cfg, num_points: int = 1024):
         state = restored["state"]
         start_epoch = int(restored["epoch"])
         logger.info(f"Resumed from {args.resume} at epoch {start_epoch}")
+    elif getattr(args, "pretrained_model", None):
+        restored = restore_checkpoint(args.pretrained_model, state)
+        state = state.replace(
+            params=restored["state"].params,
+            batch_stats=restored["state"].batch_stats,
+        )
+        logger.info(f"Warm-started weights from {args.pretrained_model}")
 
     evaluator = Evaluator(trainer.eval_apply, num_class=num_cls)
     max_epoch_num = opt_cfg["NUM_EPOCHES"]
