@@ -26,38 +26,62 @@ class Evaluator:
 
     def __init__(self, apply_fn: Callable, num_class: int = 10, criterion=None):
         self.num_class = num_class
+        # criterion kept for API parity; the eval loss is computed as masked
+        # CE inside the step (the reference logs criterion loss but only
+        # accuracy feeds decisions, utils/eval_utils.py:63-74)
         self.criterion = criterion or cross_entropy
         self._step = jax.jit(functools.partial(self._eval_step, apply_fn))
 
-    def _eval_step(self, apply_fn, params, batch_stats, data, label):
+    def _eval_step(self, apply_fn, params, batch_stats, data, label, valid):
+        """``valid`` masks pad rows — the final batch is zero-padded to the
+        loader's batch size so every eval batch compiles to ONE program
+        instead of one per tail size."""
         logits = apply_fn(params, batch_stats, data)
-        loss = self.criterion(logits, label)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, label[:, None], axis=-1)[:, 0]
+        loss_sum = jnp.sum(nll * valid)
         pred = jnp.argmax(logits, axis=-1)
-        correct = (pred == label).astype(jnp.float32)
-        onehot = jax.nn.one_hot(label, self.num_class)
+        correct = (pred == label).astype(jnp.float32) * valid
+        onehot = jax.nn.one_hot(label, self.num_class) * valid[:, None]
         cls_correct = jnp.sum(onehot * correct[:, None], axis=0)
         cls_count = jnp.sum(onehot, axis=0)
         return {
-            "loss_sum": loss * data.shape[0],
+            "loss_sum": loss_sum,
             "correct": jnp.sum(correct),
-            "count": jnp.asarray(float(data.shape[0])),
+            "count": jnp.sum(valid),
             "cls_correct": cls_correct,
             "cls_count": cls_count,
         }
 
     def run(self, params, batch_stats, batches) -> Dict[str, float]:
-        totals = None
+        pending = []
+        pad_to = None
         for data, label in batches:
-            m = self._step(
-                params,
-                batch_stats,
-                jnp.asarray(data),
-                jnp.asarray(label, dtype=jnp.int32),
+            data = np.asarray(data)
+            label = np.asarray(label)
+            if pad_to is None:
+                pad_to = data.shape[0]
+            n = data.shape[0]
+            valid = np.ones(pad_to, dtype=np.float32)
+            if n < pad_to:
+                pad = pad_to - n
+                data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+                label = np.concatenate([label, np.zeros(pad, label.dtype)])
+                valid[n:] = 0.0
+            pending.append(
+                self._step(
+                    params,
+                    batch_stats,
+                    jnp.asarray(data),
+                    jnp.asarray(label, dtype=jnp.int32),
+                    jnp.asarray(valid),
+                )
             )
-            m = jax.tree.map(np.asarray, m)
-            totals = m if totals is None else jax.tree.map(np.add, totals, m)
-        if totals is None:
+        if not pending:
             raise ValueError("empty eval loader")
+        totals = None
+        for m in jax.device_get(pending):  # one batched host transfer
+            totals = m if totals is None else jax.tree.map(np.add, totals, m)
         acc = float(totals["correct"] / totals["count"])
         cls_acc = totals["cls_correct"] / np.maximum(totals["cls_count"], 1.0)
         return {
