@@ -53,10 +53,51 @@ def knn_indices(x: jax.Array, k: int) -> jax.Array:
     Returns:
         (B, N, k) int32 indices. Mirrors reference ``knn``
         (model/model_utils.py:178-185): topk of negative pairwise distance.
+        Large N dispatches to the blockwise scan (O(N * tile) memory).
     """
+    N = x.shape[1]
+    if N > 4096:
+        return knn_blockwise(x, k)
     neg_dist = -square_distance(x, x)  # (B, N, N)
     _, idx = jax.lax.top_k(neg_dist, k)
     return idx
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def knn_blockwise(x: jax.Array, k: int, tile: int = 1024) -> jax.Array:
+    """kNN via a scan over source tiles with a running top-k merge.
+
+    Never materializes the (B, N, N) distance matrix — transient memory is
+    O(B * N * tile), so EdgeConv graphs scale to clouds far past what the
+    reference's full-matrix kNN allows (the "blockwise attention over the
+    point axis" analog, SURVEY.md §5).
+    """
+    B, N, C = x.shape
+    tile = min(tile, N)
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+    def step(carry, t):
+        best_d, best_i = carry  # (B, N, k)
+        src = jax.lax.dynamic_slice_in_dim(xp, t * tile, tile, axis=1)
+        d = square_distance(x, src)  # (B, N, tile)
+        idx = t * tile + jnp.arange(tile, dtype=jnp.int32)
+        # pad rows land past N: push them to +inf so they never win
+        d = jnp.where(idx[None, None, :] < N, d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=-1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx, (B, N, tile))], axis=-1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=-1)), None
+
+    init = (
+        jnp.full((B, N, k), jnp.inf, dtype=x.dtype),
+        jnp.zeros((B, N, k), dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(step, init, jnp.arange(n_tiles))
+    return best_i
 
 
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:

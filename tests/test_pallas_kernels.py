@@ -52,3 +52,33 @@ class TestFPSPallas:
         idx = np.asarray(fps_pallas(xyz, 64))
         for b in range(2):
             assert len(set(idx[b].tolist())) == 64
+
+
+class TestBlockwiseKNN:
+    def test_matches_full_knn(self, rng):
+        from sug_tpu.ops.geometry import knn_blockwise, square_distance
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.normal(size=(2, 300, 4)), jnp.float32)
+        got = np.asarray(knn_blockwise(x, 8, tile=128))
+        d = np.asarray(square_distance(x, x))
+        for b in range(2):
+            for n in range(0, 300, 37):
+                expect = set(np.argsort(d[b, n])[:8].tolist())
+                assert set(got[b, n].tolist()) == expect
+
+    def test_nonmultiple_tile(self, rng):
+        from sug_tpu.ops.geometry import knn_blockwise
+
+        x = jnp.asarray(rng.normal(size=(1, 100, 3)), jnp.float32)
+        idx = np.asarray(knn_blockwise(x, 4, tile=64))
+        assert idx.shape == (1, 100, 4)
+        assert (idx < 100).all() and (idx >= 0).all()
+
+    def test_self_in_neighbors(self, rng):
+        from sug_tpu.ops.geometry import knn_blockwise
+
+        x = jnp.asarray(rng.normal(size=(1, 200, 3)), jnp.float32)
+        idx = np.asarray(knn_blockwise(x, 4, tile=64))
+        for n in range(200):
+            assert n in idx[0, n]
