@@ -87,6 +87,13 @@ def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
 
 
 def main():
+    import sys
+
+    if "--all" in sys.argv:
+        # side table for humans (stderr); the JSON line below stays canonical
+        for model in ("Pointnet", "Pointnet2", "DGCNN", "PTran"):
+            v = measure(model_name=model)
+            print(f"{model}: {v:.0f} clouds/sec/chip", file=sys.stderr)
     value = measure()
     baseline = None
     for cand in ("BENCH_BASELINE.json", "BENCH_r1.json"):

@@ -33,7 +33,6 @@ from sug_tpu.data.datasets import (
     normalize_pc_np,
     resolve_data_root,
 )
-from sug_tpu.losses.mmd import sym_kl_distance
 from sug_tpu.ops.geometry import farthest_point_sample, square_distance
 
 

@@ -8,7 +8,7 @@ Host-side index generation feeding the jitted train step with fixed-shape
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ forward uses phase A's updated params, like the torch ordering).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax

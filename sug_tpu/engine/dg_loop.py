@@ -15,7 +15,7 @@ import datetime
 import math
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import numpy as np
@@ -32,7 +32,7 @@ from sug_tpu.engine.dg_trainer import DGTrainer, make_criterion
 from sug_tpu.engine.evaluation import Evaluator, eval_worker
 from sug_tpu.engine.optim import cosine_lr, dis_lr_schedule
 from sug_tpu.parallel.mesh import make_mesh
-from sug_tpu.utils.config import ConfigDict, log_config_to_file
+from sug_tpu.utils.config import log_config_to_file
 from sug_tpu.utils.logging import MetricsWriter, create_logger, exp_log_folder_creator
 from sug_tpu.utils.profiling import trace
 

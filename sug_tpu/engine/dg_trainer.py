@@ -30,7 +30,6 @@ from typing import Any, Dict, Optional, Tuple
 import flax
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sug_tpu.engine.optim import ThreeGroupOptimizer, ThreeGroupState
 from sug_tpu.losses.classification import cross_entropy, discrepancy, focal_loss

@@ -8,7 +8,7 @@ accuracy, best-accuracy tracking across epochs.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

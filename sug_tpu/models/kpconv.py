@@ -25,12 +25,11 @@ TPU redesign (everything static-shape, one compiled graph):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sug_tpu.models.kernel_points import kernel_point_disposition
 from sug_tpu.ops.geometry import farthest_point_sample, index_points, square_distance

@@ -12,8 +12,6 @@ reference, model/model_utils.py:43-48).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

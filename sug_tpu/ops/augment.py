@@ -17,8 +17,6 @@ Parity (distributional, not bitwise — threaded PRNG replaces numpy seeds):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

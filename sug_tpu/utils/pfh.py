@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sug_tpu.ops.geometry import index_points, knn_indices, square_distance
+from sug_tpu.ops.geometry import index_points, knn_indices
 
 
 def estimate_normals(pc: jax.Array, k: int = 8) -> jax.Array:
