@@ -25,7 +25,7 @@ import numpy as np
 
 
 def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
-            warmup: int = 3, iters: int = 10) -> float:
+            warmup: int = 5, iters: int = 30) -> float:
     import jax
 
     from sug_tpu.engine.dg_trainer import DGTrainer

@@ -4,9 +4,15 @@ from sug_tpu.engine.optim import (
     dis_lr_schedule,
     param_group_masks,
 )
-from sug_tpu.engine.dg_trainer import DGTrainer
+from sug_tpu.engine.dg_trainer import DGTrainer, make_criterion
 from sug_tpu.engine.source_trainer import SourceTrainer
+from sug_tpu.engine.alternating_trainer import AlternatingTrainer
 from sug_tpu.engine.evaluation import eval_worker, Evaluator
+from sug_tpu.engine.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    latest_checkpoint,
+)
 
 __all__ = [
     "ThreeGroupOptimizer",
@@ -14,7 +20,12 @@ __all__ = [
     "dis_lr_schedule",
     "param_group_masks",
     "DGTrainer",
+    "make_criterion",
     "SourceTrainer",
+    "AlternatingTrainer",
     "eval_worker",
     "Evaluator",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint",
 ]
