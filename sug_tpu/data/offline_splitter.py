@@ -99,10 +99,15 @@ def extract_features(
 
 
 def reduction_tsne(features: np.ndarray, num_comps: int = 2) -> np.ndarray:
-    """TSNE reduction (sklearn) — dataset_splitter.py:180-187."""
+    """TSNE reduction (sklearn) — dataset_splitter.py:180-187. Perplexity is
+    clamped for small classes (sklearn requires perplexity < n_samples)."""
     from sklearn.manifold import TSNE
 
-    tsne = TSNE(n_components=num_comps, init="pca", random_state=0, method="exact")
+    perplexity = min(30.0, max(float(features.shape[0] - 1) / 3.0, 2.0))
+    tsne = TSNE(
+        n_components=num_comps, init="pca", random_state=0, method="exact",
+        perplexity=perplexity,
+    )
     return tsne.fit_transform(features)
 
 
