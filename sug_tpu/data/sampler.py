@@ -92,3 +92,36 @@ def paired_epoch(it_s, it_t) -> Iterator:
     """zip() over source/target iterators — the DG hot-loop pairing
     (train_dg_single_gpu.py:246)."""
     return zip(iter(it_s), iter(it_t))
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Stage batches on the accelerator one step ahead of consumption.
+
+    The device-transfer analog of DataLoader prefetching: ``jax.device_put``
+    is async, so the upload of batch i+1 overlaps the compute of batch i.
+    Works on any iterator yielding tuples/lists of arrays. ``sharding``
+    places batches directly with the mesh sharding (data-parallel loops).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+    it = iter(iterator)
+
+    def put(batch):
+        if sharding is not None:
+            return tuple(jax.device_put(x, sharding) for x in batch)
+        return tuple(jax.device_put(x) for x in batch)
+
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass

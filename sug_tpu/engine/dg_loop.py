@@ -31,7 +31,7 @@ from sug_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
 from sug_tpu.engine.dg_trainer import DGTrainer, make_criterion
 from sug_tpu.engine.evaluation import Evaluator, eval_worker
 from sug_tpu.engine.optim import cosine_lr, dis_lr_schedule
-from sug_tpu.parallel.mesh import make_mesh
+from sug_tpu.parallel.mesh import batch_sharding, make_mesh
 from sug_tpu.utils.config import log_config_to_file
 from sug_tpu.utils.logging import MetricsWriter, create_logger, exp_log_folder_creator
 from sug_tpu.utils.profiling import trace
@@ -196,8 +196,17 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         n_seen = 0
         t_epoch = time.perf_counter()
         epoch_trace = trace() if epoch == start_epoch else contextlib.nullcontext()
+        from sug_tpu.data.sampler import prefetch_to_device
+
+        def paired():
+            for (ds_, ls_), (dt_, lt_) in zip(src_iter, tgt_iter):
+                yield ds_, ls_, dt_, lt_
+
+        batch_sh = batch_sharding(mesh) if mesh is not None else None
         with epoch_trace:
-            for batch_idx, ((ds_, ls_), (dt_, lt_)) in enumerate(zip(src_iter, tgt_iter)):
+            for batch_idx, (ds_, ls_, dt_, lt_) in enumerate(
+                prefetch_to_device(paired(), sharding=batch_sh)
+            ):
                 rng_key, step_key = jax.random.split(rng_key)
                 state, metrics = trainer.train_step(
                     state, ds_, ls_, dt_, lt_, step_key, lr_g, lr_c, lr_dis,
