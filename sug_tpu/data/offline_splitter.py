@@ -295,14 +295,18 @@ def spliter_cls_data(
     for k in range(len(set(cluster_labels.tolist()))):
         sel = cluster_labels == k
         cluster_pts = pts_all[sel]
-        stem = f"{method}_{cls}_{k}_{cluster_pts.shape[0]}"
+        base = f"{method}_{cls}_{k}_{cluster_pts.shape[0]}"
+        stem = base
         if cls_entropy is not None:
             stem += f"_entropy_{np.median(cls_entropy[sel]).tolist()}"
         np.save(os.path.join(save_path, stem + ".npy"), cluster_pts)
         print(f"Save Class {cls} Cluster {k} ({cluster_pts.shape[0]}) -> {stem}.npy")
         if cls == -1:
+            # label sidecar keeps the NON-entropy stem: the train-time reader
+            # reconstructs it by stripping "_entropy..." from the cluster
+            # file name (utils/train_files_spliter.py:311)
             np.save(
-                os.path.join(save_path, stem + "_labels.npy"), raw_labels[sel]
+                os.path.join(save_path, base + "_labels.npy"), raw_labels[sel]
             )
 
 

@@ -140,7 +140,15 @@ def _load_pts_labels(files: List[str], cls: int):
     if cls != -1:
         labels = (np.ones(pts.shape[0]) * cls).tolist()
     else:
-        label_files = [f.split("_entropy")[0] + "_labels.npy" for f in files]
+        # strip the entropy suffix from the BASENAME only (the directory path
+        # may legitimately contain "_entropy")
+        label_files = [
+            os.path.join(
+                os.path.dirname(f),
+                os.path.basename(f).split("_entropy")[0] + "_labels.npy",
+            )
+            for f in files
+        ]
         labels = _load_npy_list(label_files)
     return pts.tolist(), labels
 

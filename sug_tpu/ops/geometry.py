@@ -191,6 +191,7 @@ def query_ball_point(
         semantics, model/point_utils.py:100-106).
     """
     B, N, _ = xyz.shape
+    nsample = min(nsample, N)  # tiny clouds: can't have more neighbors than points
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
     if radius is None:
         # k nearest sorted by distance
