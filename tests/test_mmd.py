@@ -214,3 +214,33 @@ def test_one_hot(rng):
     assert oh.shape == (3, 10)
     np.testing.assert_allclose(oh.sum(1), 1.0)
     assert oh[1, 3] == 1.0
+
+
+def test_poly_mmd2(rng):
+    from sug_tpu.losses import poly_mmd2
+
+    X = rng.normal(size=(8, 4)).astype(np.float32)
+    Y = rng.normal(size=(8, 4)).astype(np.float32)
+    d, alpha, c = 2, 1.0, 2.0
+    K_XX = (alpha * (X[:-1] * X[1:]).sum(1) + c) ** d
+    K_YY = (alpha * (Y[:-1] * Y[1:]).sum(1) + c) ** d
+    K_XY = (alpha * (X[:-1] * Y[1:]).sum(1) + c) ** d
+    K_YX = (alpha * (Y[:-1] * X[1:]).sum(1) + c) ** d
+    expect = K_XX.mean() + K_YY.mean() - K_XY.mean() - K_YX.mean()
+    got = float(poly_mmd2(jnp.array(X), jnp.array(Y)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_mmd2_and_ratio(rng):
+    from sug_tpu.losses import mix_rbf_mmd2_and_ratio, mix_rbf_mmd2
+
+    X = rng.normal(size=(16, 4)).astype(np.float32)
+    Y = rng.normal(size=(16, 4)).astype(np.float32) + 1.0
+    ratio, mmd2, var = mix_rbf_mmd2_and_ratio(jnp.array(X), jnp.array(Y))
+    np.testing.assert_allclose(
+        float(mmd2), float(mix_rbf_mmd2(jnp.array(X), jnp.array(Y))), rtol=1e-4
+    )
+    assert float(var) > 0
+    np.testing.assert_allclose(
+        float(ratio), float(mmd2) / np.sqrt(max(float(var), 1e-8)), rtol=1e-4
+    )
