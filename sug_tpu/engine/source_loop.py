@@ -103,6 +103,27 @@ def run_source_training(args, cfg, num_points: int = 1024):
 
     rng_key = jax.random.key(seed)
     train_iter = BatchIterator(train_dataset, batch_size, shuffle=True, seed=seed)
+    if os.environ.get("SUG_NATIVE_LOADER") == "1":
+        # C++ ingest + prefetching batch assembly (sug_tpu/native); falls back
+        # to the Python iterator when the shared library isn't built
+        from sug_tpu import native
+        from sug_tpu.data.datasets import resolve_data_root
+
+        if native.is_available():
+            root = resolve_data_root(cfg.get("DATA_ROOT"))
+            nds = native.NativePointCloudDataset(
+                os.path.join(root, args.source, "train_pts.npy"),
+                os.path.join(root, args.source, "train_label.npy"),
+                num_points=num_points,
+                fixed_x_rotation=(args.source != "modelnet" and model_name == "DGCNN"),
+                seed=seed,
+            )
+            train_iter = native.NativeBatchIterator(
+                nds, batch_size, shuffle=True, seed=seed
+            )
+            logger.info("Using the native C++ data loader")
+        else:
+            logger.info("SUG_NATIVE_LOADER requested but library unavailable")
 
     for epoch in range(start_epoch, max_epoch_num):
         since_e = time.time()
