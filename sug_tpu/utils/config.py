@@ -98,6 +98,10 @@ def cfg_from_list(cfg_list, config: ConfigDict) -> None:
             value = literal_eval(v)
         except (ValueError, SyntaxError):
             value = v
+        if isinstance(value, tuple):
+            # "--set KEY 4,5" literal_evals to a tuple; lists are the config
+            # currency (the reference crashes on this input — fixed here)
+            value = list(value)
 
         if type(value) is not type(d[subkey]) and isinstance(d[subkey], ConfigDict):
             for src in value.split(","):
