@@ -6,6 +6,7 @@ from sug_tpu.parallel.mesh import (
     replicate,
     distributed_init,
 )
+from sug_tpu.parallel.sequence_parallel import chamfer_sp, knn_sp
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "distributed_init",
+    "chamfer_sp",
+    "knn_sp",
 ]
