@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--dataset", type=str, default="modelnet")
     parser.add_argument("--process_all", action="store_true", default=False)
     parser.add_argument("--geometric", action="store_true", default=False)
+    parser.add_argument("--kl", action="store_true", default=False,
+                        help="per-class hierarchical KL clustering of predictions")
     parser.add_argument("--use_hist", action="store_true", default=False)
     parser.add_argument("--cluster_num", type=int, default=4)
     parser.add_argument("--model", type=str, default="Pointnet")
@@ -56,6 +58,14 @@ def main():
     elif args.geometric:
         split_dataset_geometric(
             args.dataset, use_hist=args.use_hist,
+            data_root=args.data_root, save_dir=args.spliter_dir,
+        )
+    elif args.kl:
+        from sug_tpu.data.offline_splitter import split_dataset_kl
+
+        split_dataset_kl(
+            args.dataset, pre_trained=args.pre_trained,
+            cluster_num=args.cluster_num, model_name=args.model,
             data_root=args.data_root, save_dir=args.spliter_dir,
         )
     else:

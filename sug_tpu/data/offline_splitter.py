@@ -310,6 +310,33 @@ def spliter_cls_data(
             )
 
 
+def split_dataset_kl(
+    dataset_type: str,
+    pre_trained: Optional[str] = None,
+    cluster_num: int = 4,
+    model_name: str = "Pointnet",
+    data_root: Optional[str] = None,
+    save_dir: str = "spliter",
+) -> None:
+    """Per-class hierarchical KL clustering of softmax predictions
+    (the reference ships kl_clustering, dataset_splitter.py:247-249, but no
+    driver for it — this wires it into the same cluster-file contract,
+    method name 'kl', consumable via DATASET_SPLITTER.METHOD: KL)."""
+    _, logits = extract_features(dataset_type, pre_trained, model_name, data_root=data_root)
+    raw_pts, raw_labels = load_dataset_full(dataset_type, "train", data_root)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+    for i in range(NUM_CLASS):
+        sel = raw_labels == i
+        if sel.sum() < cluster_num:
+            continue
+        clusters = kl_clustering(probs[sel], cluster_num) - 1  # fcluster ids are 1-based
+        spliter_cls_data(
+            pts_all=raw_pts[sel], cluster_labels=clusters.astype(float), cls=i,
+            method="kl", dataset_type=dataset_type,
+            data_root=data_root, save_dir=save_dir,
+        )
+
+
 def split_dataset_clusters(
     dataset_type: str,
     pre_trained: Optional[str] = None,

@@ -108,6 +108,7 @@ def split_dataset(
 
     method_map = {
         "Cluster": ("kmeans", False),
+        "KL": ("kl", False),
         "Entropy": ("entropy", False),
         "Geo_hist": ("geo_hist", False),
         "Geometric": ("geometric", False),
@@ -198,7 +199,7 @@ def _load_from_offline_splitter(
             s2_lbl.extend(lbl[half:-1])
         return _pack(s1_pts, s1_lbl, s2_pts, s2_lbl)
 
-    if "kmeans" in method or "geo" in method:
+    if "kmeans" in method or "geo" in method or method == "kl":
         cluster_num = len(_cluster_files(spliter_path, method, 1))
         subset_1_cluster = int(cluster_num * spliter_config["SAMPLE_RATE"])
         sample_method = spliter_config.get("MERGE_CLUSTER_METHOD", "random")

@@ -249,6 +249,7 @@ def run_dg_training(args, cfg, num_points: int = 1024):
             logger.info(f"throughput: {cps:.0f} clouds/sec/chip ({ms:.1f} ms/step)")
 
         # ------------------------------------------------------- evaluation
+        prev_best_t1 = best_test_acc["test1"][1]
         for name, dataset in eval_sets.items():
             loader = BatchIterator(dataset, batch_size, shuffle=False, drop_last=False)
             result = eval_worker(
@@ -271,6 +272,18 @@ def run_dg_training(args, cfg, num_points: int = 1024):
             tag = f"acc/{name}_{dataset_remapping[name]}"
             writer.add_scalar(tag + "_best_acc", result["best_target_acc"], epoch)
             writer.add_scalar(tag + "_cur_acc", result["cur_target_acc"], epoch)
+
+        # best-checkpoint export: keep a stable 'best' copy whenever the
+        # primary transfer accuracy improves (the reference only rotates
+        # periodic snapshots; its best model was never saved)
+        if best_test_acc["test1"][1] > prev_best_t1:
+            best_path = save_checkpoint(
+                os.path.join(ckpt_dir, "best"), args.source, 0, state,
+                extra={"best_acc": {k: v[1] for k, v in best_test_acc.items()},
+                       "epoch": epoch},
+                max_ckpt_save_num=1,
+            )
+            logger.info(f"New best test1 acc — exported {best_path}")
 
         trained_epoch = epoch + 1
         if trained_epoch % args.ckpt_save_interval == 0 or preempted["flag"]:
