@@ -90,10 +90,15 @@ def main():
     import sys
 
     if "--all" in sys.argv:
-        # side table for humans (stderr); the JSON line below stays canonical
-        for model in ("Pointnet", "Pointnet2", "DGCNN", "PTran"):
-            v = measure(model_name=model)
-            print(f"{model}: {v:.0f} clouds/sec/chip", file=sys.stderr)
+        # side table for humans (stderr); the JSON line below stays canonical.
+        # Batch sizes follow the reference training recipes (BASELINE.md):
+        # PTran's (B, N, k, 512) attention intermediates cap its batch ~32.
+        for model, batch in (
+            ("Pointnet", 64), ("Pointnet2", 64), ("DGCNN", 64),
+            ("PTran", 32), ("KPConv", 16),
+        ):
+            v = measure(model_name=model, batch=batch)
+            print(f"{model} (B={batch}+{batch}): {v:.0f} clouds/sec/chip", file=sys.stderr)
     value = measure()
     baseline = None
     for cand in ("BENCH_BASELINE.json", "BENCH_r1.json"):
