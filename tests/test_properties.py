@@ -59,15 +59,18 @@ def test_chamfer_scales_quadratically(pc, scale):
 
 
 @settings(**SETTINGS)
-@given(clouds, st.floats(0.5, 5.0), st.floats(-3, 3))
-def test_normalize_invariant_to_similarity_transform(pc, scale, shift):
-    # near-degenerate clouds lose the spread to float32 cancellation against
-    # the shift; the property only holds for well-conditioned inputs
-    if np.abs(pc - pc.mean(1, keepdims=True)).max() < 0.05:
-        return
+@given(clouds, st.floats(0.5, 5.0))
+def test_normalize_invariant_to_scale(pc, scale):
+    """Scale invariance is exact (no cancellation). Shift invariance holds in
+    real arithmetic but is float32-brittle for clouds whose spread is small
+    relative to the shift, so it is not asserted property-style (the fixed
+    well-conditioned case is covered in test_augment)."""
+    spread = np.abs(pc - pc.mean(1, keepdims=True)).max()
+    if spread < 1e-3:
+        return  # degenerate: all points equal
     a = np.asarray(normalize_pc(jnp.asarray(pc)))
-    b = np.asarray(normalize_pc(jnp.asarray(pc * scale + shift)))
-    np.testing.assert_allclose(a, b, atol=2e-2)
+    b = np.asarray(normalize_pc(jnp.asarray(pc * scale)))
+    np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 @settings(**SETTINGS)
