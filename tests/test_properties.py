@@ -67,10 +67,12 @@ def test_normalize_idempotent_and_unit(pc):
     under hypothesis's adversarial near-duplicate clouds — centering suffers
     catastrophic cancellation — so the invariance is only spot-checked on
     well-conditioned inputs in test_augment.)"""
-    spread = np.abs(pc - pc.mean(1, keepdims=True)).max()
-    if spread < 1e-3:
-        return  # degenerate: all points equal -> 0/0 guard territory
-    a = np.asarray(normalize_pc(jnp.asarray(pc)))
+    # per-cloud degeneracy guard: constant clouds hit the 0/0 epsilon path
+    spread = np.abs(pc - pc.mean(1, keepdims=True)).max(axis=(1, 2))
+    valid = spread > 1e-3
+    if not valid.any():
+        return
+    a = np.asarray(normalize_pc(jnp.asarray(pc)))[valid]
     np.testing.assert_allclose(a.mean(1), 0.0, atol=1e-5)
     np.testing.assert_allclose(np.linalg.norm(a, axis=-1).max(1), 1.0, atol=1e-5)
     b = np.asarray(normalize_pc(jnp.asarray(a)))
