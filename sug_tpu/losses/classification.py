@@ -73,7 +73,8 @@ def class_weights(
         if adaptive_q or (isinstance(q, str)):
             uni = np.full(C, 1.0 / C)
             cur = counts / total
-            kl = lambda x, y: x * np.log(x / y) - x + y  # scipy kl_div semantics
+            # scipy kl_div semantics incl. the x=0 -> y convention
+            kl = lambda x, y: np.where(x > 0, x * np.log(np.where(x > 0, x, 1.0) / y) - x + y, y)
             q_val = float(np.sum(0.5 * kl(cur, uni) + 0.5 * kl(uni, cur)))
         else:
             q_val = 0.4 if q is None else float(q)
