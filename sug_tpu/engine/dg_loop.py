@@ -38,13 +38,19 @@ from sug_tpu.utils.profiling import trace
 
 
 def _make_train_iter(dataset, cfg, batch_size, seed):
+    """batch_size is the PER-PROCESS batch; under multi-host each process
+    iterates its rank's disjoint slice of the shared epoch permutation."""
+    kwargs = dict(
+        batch_size=batch_size,
+        seed=seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     if cfg.get("METHODS", {}).get("CLASS_BALANCE", False) or cfg.get(
         "CLASS_BALANCE", False
     ):
-        return ClassBalancedBatchIterator(
-            dataset, batch_size=batch_size, class_per_batch=10, seed=seed
-        )
-    return BatchIterator(dataset, batch_size=batch_size, shuffle=True, seed=seed)
+        return ClassBalancedBatchIterator(dataset, class_per_batch=10, **kwargs)
+    return BatchIterator(dataset, shuffle=True, **kwargs)
 
 
 def run_dg_training(args, cfg, num_points: int = 1024):
@@ -53,10 +59,15 @@ def run_dg_training(args, cfg, num_points: int = 1024):
 
     mesh = None
     num_devices = args.num_devices or 1
-    if num_devices > 1 or args.launcher not in ("none",):
+    if num_devices > 1 or args.launcher not in ("none",) or jax.process_count() > 1:
         mesh = make_mesh(args.num_devices)
         num_devices = mesh.devices.size
-    batch_size = args.batch_size * max(1, num_devices)
+    n_proc = jax.process_count()
+    batch_size = args.batch_size * max(1, num_devices)  # global batch
+    assert batch_size % n_proc == 0, (
+        f"global batch {batch_size} not divisible by {n_proc} processes"
+    )
+    local_batch = batch_size // n_proc  # per-host slice fed by this process
 
     output_dir, ckpt_dir = exp_log_folder_creator(cfg, extra_tag=args.source)
     log_name = "log_train_dg%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -92,8 +103,8 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         logger.info(
             f"Num of source train: {len(src)}, Num of target train: {len(tgt)}"
         )
-        source_train_iters.append(_make_train_iter(src, cfg, batch_size, seed))
-        target_train_iters.append(_make_train_iter(tgt, cfg, batch_size, seed + 1))
+        source_train_iters.append(_make_train_iter(src, cfg, local_batch, seed))
+        target_train_iters.append(_make_train_iter(tgt, cfg, local_batch, seed + 1))
 
     eval_sets = {
         "source": create_single_dataset(
@@ -146,8 +157,13 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         )
         return (out["logits1"] + out["logits2"]) / 2.0
 
+    from sug_tpu.parallel.mesh import replicated_sharding
+
     evaluator = Evaluator(
-        eval_apply, num_class=cfg["DATASET"]["NUM_CLASS"], criterion=criterion
+        eval_apply,
+        num_class=cfg["DATASET"]["NUM_CLASS"],
+        criterion=criterion,
+        sharding=replicated_sharding(mesh) if (mesh is not None and n_proc > 1) else None,
     )
 
     max_epoch_num = opt_cfg["NUM_EPOCHES"]
@@ -189,6 +205,10 @@ def run_dg_training(args, cfg, num_points: int = 1024):
 
         idx = epoch % len(source_train_iters)
         src_iter, tgt_iter = source_train_iters[idx], target_train_iters[idx]
+        # epoch-seeded shuffles, identical on every process (the reference's
+        # sampler.set_epoch, train_dg.py:268-270)
+        src_iter.set_epoch(epoch)
+        tgt_iter.set_epoch(epoch)
 
         # Hot loop: metrics stay on-device (no per-step host sync — steps
         # pipeline behind async dispatch); they're pulled once per epoch.
@@ -203,9 +223,14 @@ def run_dg_training(args, cfg, num_points: int = 1024):
                 yield ds_, ls_, dt_, lt_
 
         batch_sh = batch_sharding(mesh) if mesh is not None else None
+        put_fn = None
+        if n_proc > 1:
+            from sug_tpu.parallel.mesh import assemble_global_batch
+
+            put_fn = lambda *arrs: assemble_global_batch(mesh, *arrs)  # noqa: E731
         with epoch_trace:
             for batch_idx, (ds_, ls_, dt_, lt_) in enumerate(
-                prefetch_to_device(paired(), sharding=batch_sh)
+                prefetch_to_device(paired(), sharding=batch_sh, put_fn=put_fn)
             ):
                 rng_key, step_key = jax.random.split(rng_key)
                 state, metrics = trainer.train_step(

@@ -24,12 +24,18 @@ class Evaluator:
     heads if applicable.
     """
 
-    def __init__(self, apply_fn: Callable, num_class: int = 10, criterion=None):
+    def __init__(
+        self, apply_fn: Callable, num_class: int = 10, criterion=None, sharding=None
+    ):
         self.num_class = num_class
         # criterion kept for API parity; the eval loss is computed as masked
         # CE inside the step (the reference logs criterion loss but only
         # accuracy feeds decisions, utils/eval_utils.py:63-74)
         self.criterion = criterion or cross_entropy
+        # multi-host: eval batches are identical on every process; placing
+        # them with a replicated sharding makes the eval step a global
+        # computation compatible with globally-sharded params
+        self.sharding = sharding
         self._step = jax.jit(functools.partial(self._eval_step, apply_fn))
 
     def _eval_step(self, apply_fn, params, batch_stats, data, label, valid):
@@ -68,15 +74,12 @@ class Evaluator:
                 data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])
                 label = np.concatenate([label, np.zeros(pad, label.dtype)])
                 valid[n:] = 0.0
-            pending.append(
-                self._step(
-                    params,
-                    batch_stats,
-                    jnp.asarray(data),
-                    jnp.asarray(label, dtype=jnp.int32),
-                    jnp.asarray(valid),
-                )
-            )
+            arrs = (data, label.astype(np.int32), valid)
+            if self.sharding is not None:
+                arrs = tuple(jax.device_put(a, self.sharding) for a in arrs)
+            else:
+                arrs = tuple(jnp.asarray(a) for a in arrs)
+            pending.append(self._step(params, batch_stats, *arrs))
         if not pending:
             raise ValueError("empty eval loader")
         totals = None

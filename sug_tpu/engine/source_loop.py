@@ -129,6 +129,8 @@ def run_source_training(args, cfg, num_points: int = 1024):
         since_e = time.time()
         lr = cosine_lr(LR, epoch, max_epoch_num)
         writer.add_scalar("lr", lr, epoch)
+        if hasattr(train_iter, "set_epoch"):
+            train_iter.set_epoch(epoch)
 
         # metrics stay on-device during the hot loop (no per-step sync)
         pending, n_seen = [], 0

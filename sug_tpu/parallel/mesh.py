@@ -62,6 +62,26 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
+def assemble_global_batch(mesh: Optional[Mesh], *arrays):
+    """Build mesh-sharded global batches from per-process local shards.
+
+    Single process: equivalent to ``shard_batch``. Multi-process: each host
+    passes its LOCAL slice (global_batch / process_count rows, produced by a
+    rank-aware BatchIterator) and ``jax.make_array_from_process_local_data``
+    assembles the logical global array without gathering data to any single
+    host — the TPU-native replacement for the reference's DistributedSampler
+    + per-rank DataLoader (data/dataloader.py:16-36, train_dg.py:74-75).
+    """
+    if mesh is None:
+        return tuple(jax.numpy.asarray(a) for a in arrays)
+    if jax.process_count() == 1:
+        return shard_batch(mesh, *arrays)
+    sh = batch_sharding(mesh)
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a)) for a in arrays
+    )
+
+
 def replicate(mesh: Optional[Mesh], tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     if mesh is None:

@@ -1,0 +1,205 @@
+"""Multi-host data parallelism: rank-aware sampling + global batch assembly.
+
+Unit tests cover the DistributedSampler-parity slicing of BatchIterator
+(reference data/dataloader.py:16-36); the integration test actually SPAWNS
+two jax.distributed processes (2 virtual CPU devices each, 4 global), runs 3
+full DG train steps with jax.make_array_from_process_local_data assembly, and
+checks both processes observe the same loss trajectory as a single-process
+run over the identical global batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_dataset(n=40, n_points=32):
+    from sug_tpu.data.datasets import PointCloudDataset
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n, n_points, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, n).astype(np.int64)
+    return PointCloudDataset("modelnet", pts, labels, num_points=n_points)
+
+
+class TestRankAwareSampler:
+    def test_rank_slices_partition_epoch(self):
+        from sug_tpu.data.sampler import BatchIterator
+
+        ds = _mk_dataset(n=40)
+        world = 4
+        iters = [
+            BatchIterator(ds, 5, seed=7, process_index=r, process_count=world)
+            for r in range(world)
+        ]
+        for it in iters:
+            it.set_epoch(3)
+        orders = [it._epoch_order() for it in iters]
+        # equal per-rank counts, and together they cover the dataset
+        assert all(len(o) == 10 for o in orders)
+        assert set(np.concatenate(orders).tolist()) == set(range(40))
+
+    def test_padding_when_not_divisible(self):
+        from sug_tpu.data.sampler import BatchIterator
+
+        ds = _mk_dataset(n=41)
+        world = 4
+        orders = []
+        for r in range(world):
+            it = BatchIterator(ds, 5, seed=7, process_index=r, process_count=world)
+            orders.append(it._epoch_order())
+        # padded to 44 by wrapping (DistributedSampler semantics): equal
+        # lengths, every dataset index still covered
+        assert all(len(o) == 11 for o in orders)
+        assert set(np.concatenate(orders).tolist()) == set(range(41))
+
+    def test_set_epoch_changes_and_reproduces_shuffles(self):
+        from sug_tpu.data.sampler import BatchIterator
+
+        ds = _mk_dataset()
+        it = BatchIterator(ds, 5, seed=7)
+        it.set_epoch(0)
+        e0 = it._epoch_order()
+        it.set_epoch(1)
+        e1 = it._epoch_order()
+        it.set_epoch(0)
+        assert not np.array_equal(e0, e1)
+        assert np.array_equal(e0, it._epoch_order())
+        # identical across independently-constructed iterators (what makes
+        # multi-host ranks agree on the permutation)
+        it2 = BatchIterator(ds, 5, seed=7)
+        it2.set_epoch(1)
+        assert np.array_equal(e1, it2._epoch_order())
+
+    def test_assemble_global_batch_single_process(self):
+        import jax
+
+        from sug_tpu.parallel.mesh import assemble_global_batch, make_mesh
+
+        mesh = make_mesh(4)
+        a = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+        (g,) = assemble_global_batch(mesh, a)
+        assert g.shape == (8, 3)
+        np.testing.assert_array_equal(np.asarray(g), a)
+        assert len(g.sharding.device_set) == 4
+
+
+@pytest.mark.slow
+class TestTwoProcessIntegration:
+    def test_two_process_loss_matches_single_process(self, tmp_path):
+        import jax
+
+        if jax.default_backend() != "cpu":
+            pytest.skip("CPU-only integration test")
+
+        # pick a free port for the coordinator
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coordinator = f"127.0.0.1:{port}"
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+        env["PYTHONPATH"] = REPO_ROOT
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO_ROOT, "tests", "_multihost_child.py"),
+                 coordinator, "2", str(r)],
+                env=env, cwd=REPO_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"child rc={p.returncode}:\n{out}"
+
+        results, fixed_results = {}, {}
+        for out in outs:
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
+            d = json.loads(line)
+            results[d["proc"]] = d["losses"]
+            fixed_results[d["proc"]] = d["fixed_losses"]
+        from tests._multihost_common import N_STEPS
+
+        assert len(results[0]) == N_STEPS
+        # both processes observe the same global loss
+        np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+        np.testing.assert_allclose(fixed_results[0], fixed_results[1], rtol=1e-6)
+
+        # single-process reference over the IDENTICAL global batches: stitch
+        # each step's batch from the two ranks' iterator slices
+        from sug_tpu.data.datasets import PointCloudDataset
+        from sug_tpu.data.sampler import BatchIterator
+        from sug_tpu.engine.dg_trainer import DGTrainer
+        from sug_tpu.parallel.mesh import make_mesh, shard_batch
+        from sug_tpu.utils.config import ConfigDict
+        from tests._multihost_common import CFG, make_data, GLOBAL_BATCH, N_POINTS
+
+        mesh = make_mesh(4)
+        pts_s, lab_s, pts_t, lab_t = make_data()
+        ds_s = PointCloudDataset("modelnet", pts_s, lab_s, num_points=N_POINTS)
+        ds_t = PointCloudDataset("modelnet", pts_t, lab_t, num_points=N_POINTS)
+        local = GLOBAL_BATCH // 2
+
+        def global_batches(ds, seed):
+            rank_iters = []
+            for r in range(2):
+                it = BatchIterator(ds, local, seed=seed, process_index=r, process_count=2)
+                it.set_epoch(0)
+                rank_iters.append(iter(it))
+            for pair in zip(*rank_iters):
+                yield (
+                    np.concatenate([p[0] for p in pair]),
+                    np.concatenate([p[1] for p in pair]),
+                )
+
+        trainer = DGTrainer(ConfigDict(CFG), model_name="Pointnet", mesh=mesh, augment=True)
+        state = trainer.init_state(seed=0, batch_size=GLOBAL_BATCH, num_points=N_POINTS)
+        state0 = state
+        key = jax.random.key(0)
+        losses, fixed_losses = [], []
+        for step, ((dsb, lsb), (dtb, ltb)) in enumerate(
+            zip(global_batches(ds_s, 1), global_batches(ds_t, 2))
+        ):
+            if step >= N_STEPS:
+                break
+            dsb, lsb, dtb, ltb = shard_batch(
+                mesh, dsb, lsb.astype(np.int32), dtb, ltb.astype(np.int32)
+            )
+            key, k = jax.random.split(key)
+            _, m0 = trainer.train_step(
+                state0, dsb, lsb, dtb, ltb, jax.random.key(7), 1e-3, 1e-3, 1e-3,
+                mmd_on=True,
+            )
+            fixed_losses.append(float(m0["loss_total"]))
+            state, metrics = trainer.train_step(
+                state, dsb, lsb, dtb, ltb, k, 1e-3, 1e-3, 1e-3, mmd_on=True
+            )
+            losses.append(float(metrics["loss_total"]))
+
+        # exact-math equivalence: same initial state + same global batches ->
+        # same loss, regardless of process topology
+        np.testing.assert_allclose(fixed_results[0], fixed_losses, rtol=1e-4, atol=1e-5)
+        # trajectory sanity: state-carried losses track loosely (FPS/ball-query
+        # argmax near-ties amplify topology-dependent float-order noise, so
+        # bitwise trajectories across topologies are not expected)
+        np.testing.assert_allclose(results[0], losses, rtol=0.1, atol=1e-3)

@@ -93,6 +93,8 @@ def main():
     rng_key = jax.random.key(seed)
 
     for epoch in range(max_epochs):
+        src_iter.set_epoch(epoch)
+        tgt_iter.set_epoch(epoch)
         since = time.time()
         lr_g = cosine_lr(LR, epoch, max_epochs)
         lr_dis = dis_lr_schedule(LR, scaler, epoch)

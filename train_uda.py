@@ -74,6 +74,8 @@ def main():
     tgt_iter = BatchIterator(tgt_train, args.batchsize, seed=seed + 1)
 
     for epoch in range(args.epochs):
+        src_iter.set_epoch(epoch)
+        tgt_iter.set_epoch(epoch)
         since = time.time()
         lr_g = cosine_lr(args.lr, epoch, args.epochs + remain_epoch)
         lr_c = cosine_lr(args.lr * 2, epoch, args.epochs + remain_epoch)
