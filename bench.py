@@ -7,31 +7,60 @@ chamfer/KL sample weights), on-device augmentation, fused 3-group optimizer —
 i.e. everything the reference does per step (train_dg_single_gpu.py hot loop)
 in one compiled program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline: ratio against the value stored in BENCH_BASELINE.json (a
-measured PyTorch-reference throughput, when available). The reference repo
-publishes no numbers (BASELINE.md), so when no measured baseline exists the
-field reports the ratio against this repo's first recorded bench
-(BENCH_r1.json) or 1.0.
+Methodology (see docs/PERF.md "Measurement methodology"): the K steps being
+timed run INSIDE one compiled ``lax.scan`` with the train state threaded
+through, and the timer stops only after a scalar from the final state is
+fetched to the host. Host-side ``block_until_ready`` timing is NOT used: over
+this dev box's remote-TPU tunnel it returns without waiting (measured
+~26,000 "TFLOPS" on a known-FLOPs probe, tools/bench_diag.py), which is what
+made the round-1 numbers physically impossible. The scan+fetch number is an
+upper bound on true device time (it includes one tunnel round trip, amortized
+over K steps).
+
+Sanity: the compiled step's cost_analysis() FLOPs give an implied TFLOP/s and
+MFU versus the chip's bf16 peak; the script REFUSES to print a throughput
+whose implied MFU exceeds 100%.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline: ratio against BENCH_BASELINE.json (the measured PyTorch
+reference, tools/bench_torch_reference.py) when present, else against the
+earliest recorded BENCH_r*.json, else 1.0.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import time
 
 import numpy as np
 
+# bf16 MXU peak by device_kind substring; used only for the MFU sanity gate.
+PEAK_FLOPS = {
+    "v5 lite": 197e12,  # TPU v5e
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,  # Trillium
+}
 
-def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
-            warmup: int = 5, iters: int = 30) -> float:
+
+def _device_peak():
     import jax
 
-    from sug_tpu.engine.dg_trainer import DGTrainer
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in PEAK_FLOPS.items():
+        if sub in kind:
+            return peak
+    return None
+
+
+def _make_cfg():
     from sug_tpu.utils.config import ConfigDict
 
-    cfg = ConfigDict(
+    return ConfigDict(
         {
             "METHODS": {
                 "MMD_WEIGHT": 0.5,
@@ -53,37 +82,101 @@ def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
         }
     )
 
-    trainer = DGTrainer(cfg, model_name=model_name, augment=True)
+
+def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
+            scan_steps: int = 20) -> dict:
+    """Returns {'ms_per_step', 'clouds_per_sec', 'flops_per_step', 'tflops',
+    'mfu_pct'} for one compiled DG train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from sug_tpu.engine.dg_trainer import DGTrainer
+
+    trainer = DGTrainer(_make_cfg(), model_name=model_name, augment=True)
     state = trainer.init_state(seed=0, batch_size=batch, num_points=n_points)
 
     rng = np.random.default_rng(0)
-    data_s = np.asarray(rng.normal(size=(batch, n_points, 3)), np.float32)
-    data_t = np.asarray(rng.normal(size=(batch, n_points, 3)), np.float32)
-    label_s = rng.integers(0, 10, batch).astype(np.int32)
-    label_t = rng.integers(0, 10, batch).astype(np.int32)
-
+    data_s = jnp.asarray(rng.normal(size=(batch, n_points, 3)), jnp.float32)
+    data_t = jnp.asarray(rng.normal(size=(batch, n_points, 3)), jnp.float32)
+    label_s = jnp.asarray(rng.integers(0, 10, batch), jnp.int32)
+    label_t = jnp.asarray(rng.integers(0, 10, batch), jnp.int32)
+    batch_tuple = (data_s, label_s, data_t, label_t)
+    scalars = tuple(jnp.asarray(v, jnp.float32) for v in (1e-3, 1e-3, 1e-3, 0.0))
     key = jax.random.key(0)
 
-    def step(state, key):
-        key, k = jax.random.split(key)
-        state, metrics = trainer.train_step(
-            state, data_s, label_s, data_t, label_t, k, 1e-3, 1e-3, 1e-3, mmd_on=True
-        )
-        return state, key, metrics
+    # FLOPs of ONE compiled step (for the MFU sanity gate)
+    compiled = trainer._train_step_full.lower(state, batch_tuple, key, scalars).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops_per_step = float(ca.get("flops", 0.0)) if ca else 0.0
 
-    for _ in range(warmup):
-        state, key, metrics = step(state, key)
-    jax.tree.leaves(state.params)[0].block_until_ready()
+    @jax.jit
+    def multi_step(state, batch_tuple, key, scalars):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, m = trainer._train_step(st, batch_tuple, sub, scalars, mmd_on=True)
+            return (st, k), m["loss_total"]
 
+        (state, _), losses = jax.lax.scan(body, (state, key), None, length=scan_steps)
+        return state, losses
+
+    st, losses = multi_step(state, batch_tuple, key, scalars)  # compile + warm
+    assert np.isfinite(np.asarray(losses)).all(), "non-finite loss in warmup"
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, key, metrics = step(state, key)
-    jax.tree.leaves(state.params)[0].block_until_ready()
-    dt = time.perf_counter() - t0
+    st, losses = multi_step(state, batch_tuple, key, scalars)
+    _ = float(losses[-1])  # fetch forces completion of the whole scan
+    dt = (time.perf_counter() - t0) / scan_steps
 
-    clouds_per_step = 2 * batch  # source + target-split clouds consumed
-    n_chips = 1  # bench runs single-chip
-    return clouds_per_step * iters / dt / n_chips
+    tflops = flops_per_step / dt / 1e12 if flops_per_step else 0.0
+    peak = _device_peak()
+    mfu = 100.0 * tflops * 1e12 / peak if peak else None
+    if mfu is not None and mfu > 100.0:
+        raise RuntimeError(
+            f"implied MFU {mfu:.0f}% > 100% — timing is broken "
+            f"({dt*1e3:.2f} ms/step for {flops_per_step/1e12:.2f} TFLOP); "
+            "refusing to report a physically impossible throughput"
+        )
+    return {
+        "ms_per_step": dt * 1e3,
+        "clouds_per_sec": 2 * batch / dt,
+        "flops_per_step": flops_per_step,
+        "tflops": tflops,
+        "mfu_pct": mfu,
+    }
+
+
+def _load_baseline():
+    """Measured torch-reference baseline (BENCH_BASELINE.json, produced from
+    tools/bench_torch_reference.py runs), else prior-round bench values.
+
+    Round 1 (BENCH_r01.json) is EXCLUDED: its 32,965 clouds/sec implies >230%
+    MFU — it measured dispatch rate, not execution (docs/PERF.md), and
+    comparing against a physically impossible number would be meaningless.
+    """
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                d = json.load(f)
+            return float(d["value"]), d.get("note", "measured torch reference")
+        except Exception:
+            pass
+    rounds = sorted(
+        glob.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r0*(\d+)", p).group(1)),
+    )
+    for cand in rounds:
+        n = int(re.search(r"r0*(\d+)", cand).group(1))
+        if n < 2:
+            continue
+        try:
+            with open(cand) as f:
+                d = json.load(f)
+            value = d["parsed"]["value"] if "parsed" in d else d["value"]
+            return float(value), f"prior round {cand}"
+        except Exception:
+            continue
+    return None, None
 
 
 def main():
@@ -91,32 +184,32 @@ def main():
 
     if "--all" in sys.argv:
         # side table for humans (stderr); the JSON line below stays canonical.
-        # Batch sizes follow the reference training recipes (BASELINE.md):
-        # PTran's (B, N, k, 512) attention intermediates cap its batch ~32.
+        # Batch sizes follow the reference training recipes (BASELINE.md).
         for model, batch in (
             ("Pointnet", 64), ("Pointnet2", 64), ("DGCNN", 64),
             ("PTran", 32), ("KPConv", 16),
         ):
-            v = measure(model_name=model, batch=batch)
-            print(f"{model} (B={batch}+{batch}): {v:.0f} clouds/sec/chip", file=sys.stderr)
-    value = measure()
-    baseline = None
-    for cand in ("BENCH_BASELINE.json", "BENCH_r1.json"):
-        if os.path.exists(cand):
-            try:
-                with open(cand) as f:
-                    baseline = float(json.load(f)["value"])
-                break
-            except Exception:
-                pass
-    vs = value / baseline if baseline else 1.0
+            r = measure(model_name=model, batch=batch)
+            mfu = f", {r['mfu_pct']:.1f}% MFU" if r["mfu_pct"] is not None else ""
+            print(
+                f"{model} (B={batch}+{batch}): {r['clouds_per_sec']:.0f} clouds/sec/chip "
+                f"({r['ms_per_step']:.1f} ms/step, {r['tflops']:.1f} TFLOP/s{mfu})",
+                file=sys.stderr,
+            )
+    r = measure()
+    baseline, note = _load_baseline()
+    vs = r["clouds_per_sec"] / baseline if baseline else 1.0
     print(
         json.dumps(
             {
                 "metric": "dg_train_step_throughput (DGCNN, 1024 pts, B=64+64, full MSA/SDA loss)",
-                "value": round(value, 2),
+                "value": round(r["clouds_per_sec"], 2),
                 "unit": "clouds/sec/chip",
                 "vs_baseline": round(vs, 3),
+                "ms_per_step": round(r["ms_per_step"], 2),
+                "step_tflop": round(r["flops_per_step"] / 1e12, 3),
+                "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] is not None else None,
+                "baseline_note": note,
             }
         )
     )

@@ -28,18 +28,73 @@ K_NEIGHBORS = 20
 
 
 class _EdgeConvBlock(nn.Module):
-    """One EdgeConv block: graph feature -> ConvBN(leakyrelu) -> max over k."""
+    """One EdgeConv block: kNN graph feature -> Dense+BN+leakyrelu -> max over k.
 
+    Computation is the fused formulation (sug_tpu/ops/edgeconv_pallas.py):
+    with the Dense kernel split into neighbor/center halves W1/W2, the edge
+    activation is ``a_k = u[nbr_k] + v`` where ``u = x @ W1`` and
+    ``v = x @ (W2 - W1)``; the kernel returns per-(b,n,f) max/min/sum/sumsq
+    over k, and because BN's per-channel affine and leaky_relu are monotone,
+    ``max_k lrelu(BN(a))`` equals ``lrelu(BN(max_k a))`` when the BN scale is
+    >= 0 and ``lrelu(BN(min_k a))`` otherwise. The (B, N, k, 2C) edge tensor
+    of the reference (model/model_utils.py:187-209) is never materialized.
+    On TPU the reductions run in one Pallas kernel (kNN included); elsewhere
+    (or with SUG_FUSED_EDGECONV=0) an equivalent XLA path is used.
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        feat = get_graph_feature(x, k=K_NEIGHBORS)
-        feat = ConvBN(self.features, act="leakyrelu", use_bias=False, name="conv")(
-            feat, train
+        import os
+
+        from sug_tpu.ops.edgeconv_pallas import (
+            TILE,
+            edgeconv_reduce_reference,
+            fused_edgeconv_reduce,
         )
-        return jnp.max(feat, axis=2)
+
+        B, N, C = x.shape
+        F = self.features
+        dense = nn.Dense(F, use_bias=False, name="conv_dense")
+        u = dense(jnp.concatenate([x, jnp.zeros_like(x)], -1))  # x @ W1
+        v = dense(jnp.concatenate([-x, x], -1))  # x @ (W2 - W1)
+
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SUG_FUSED_EDGECONV", "1") == "1"
+            and N % TILE == 0
+        )
+        if use_fused:
+            amax, amin, s1, s2, _ = fused_edgeconv_reduce(x, u, v, K_NEIGHBORS)
+        else:
+            amax, amin, s1, s2, _ = edgeconv_reduce_reference(x, u, v, K_NEIGHBORS)
+
+        # BatchNorm with flax semantics (momentum 0.9, eps 1e-5, biased var)
+        # computed from the kernel's sums — gradients through mean/var reach
+        # every edge via the kernel's ds1/ds2 cotangents.
+        scale = self.param("bn_scale", nn.initializers.ones, (F,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (F,))
+        ra_mean = self.variable(
+            "batch_stats", "bn_mean", lambda: jnp.zeros((F,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "bn_var", lambda: jnp.ones((F,), jnp.float32)
+        )
+        if train:
+            M = B * N * K_NEIGHBORS
+            mean = jnp.sum(s1, axis=(0, 1)) / M
+            var = jnp.maximum(jnp.sum(s2, axis=(0, 1)) / M - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * jax.lax.stop_gradient(mean)
+                ra_var.value = 0.9 * ra_var.value + 0.1 * jax.lax.stop_gradient(var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = scale * jax.lax.rsqrt(var + 1e-5)  # signed per-channel slope
+        sel = jnp.where(inv >= 0, amax, amin)
+        y = sel * inv + (bias - mean * inv)
+        return nn.leaky_relu(y, negative_slope=0.01)
 
 
 class DGCNNGenerator(nn.Module):

@@ -1,0 +1,392 @@
+"""Fused EdgeConv gather-reduce Pallas kernel.
+
+The DGCNN EdgeConv (reference model/Model.py:54-121 via get_graph_feature,
+model/model_utils.py:178-209) is, per block:
+
+    a[b,n,k,f] = concat(nbr - x, x) @ W  ->  BN -> leaky_relu -> max over k
+
+XLA executes this as a full (B,N,N) sort for the kNN (~17ms each), a
+(B,N,k,2C) edge-feature gather, a big batched matmul, and (B,N,k,F)
+activation traffic — the profiled step spends ~60% of its time in these
+sorts/gathers (docs/PERF.md). This kernel removes all of it:
+
+- algebraic split: a_k = U[idx_k] + V with U = x @ W1, V = x @ (W2 - W1)
+  (W1/W2 = neighbor/center halves of the Dense kernel), so the inner loop
+  works on (N, F) tensors instead of (N, k, 2C) edge features;
+- kNN *inside* the kernel: the (128, N) distance tile is computed on the MXU
+  and the top-k extracted by iterative argmax (VPU) — no O(N log N) sort, no
+  HBM distance matrix;
+- neighbor gather as one-hot MXU matmuls from VMEM-resident U — no HBM
+  gather/scatter;
+- BN statistics without materializing a: the kernel returns per-(b,n,f)
+  max_k a, min_k a, sum_k a, sum_k a^2. Because BN's per-channel affine and
+  leaky_relu are monotone, max_k(lrelu(BN(a))) == lrelu(BN(max_k a)) when
+  scale >= 0 and lrelu(BN(min_k a)) otherwise — the caller selects by
+  sign(scale) and applies BN/activation on (B,N,F) tensors only.
+
+The custom VJP runs a mirror kernel: recompute a_k from the saved neighbor
+indices, form da_k = damax*selmax + damin*selmin + ds1 + 2*a_k*ds2 (the ds1 /
+ds2 terms are exactly the BN batch-statistics backward, since the caller's
+mean/var are functions of s1/s2), and accumulate dU via transposed one-hot
+matmuls and dV by summation. x itself receives zero gradient from the kernel
+(it enters only through the non-differentiable neighbor selection; its
+differentiable influence flows through U and V outside).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128  # query points per program (MXU-aligned)
+
+
+def _split_bf16(a):
+    """a == hi + lo with hi exactly bf16-representable."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _dot_acc(a, b):
+    """Near-f32 matmul from bf16 passes (Mosaic supports only DEFAULT/HIGHEST
+    dot precision in-kernel; HIGHEST is 6 passes — this hand-rolled 3-pass
+    split reaches ~2^-16 relative error, enough that kNN ranking and edge
+    activations match the f32 reference paths)."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    d = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    d = d + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    d = d + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    return d
+
+
+def _onehot_dot(onehot, b):
+    """Exact one-hot gather as two bf16-pass matmuls: the 0/1 left operand is
+    exactly bf16, so onehot @ hi + onehot @ lo reconstructs b's f32 rows
+    bit-exactly."""
+    b_hi, b_lo = _split_bf16(b)
+    return jnp.dot(onehot, b_hi, preferred_element_type=jnp.float32) + jnp.dot(
+        onehot, b_lo, preferred_element_type=jnp.float32
+    )
+
+
+def _onehotT_dot(onehotT, b):
+    """Like _onehot_dot but with the one-hot stored transposed (N, TILE):
+    contracts its FIRST axis with b's first — dot_general keeps the
+    contraction on the MXU without materializing a transpose (Mosaic cannot
+    legalize large in-loop transposes inside scf.for)."""
+    dn = (((0,), (0,)), ((), ()))
+    b_hi, b_lo = _split_bf16(b)
+    return jax.lax.dot_general(
+        onehotT, b_hi, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(onehotT, b_lo, dn, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
+                amax_ref, amin_ref, s1_ref, s2_ref, idx_ref, *, k: int):
+    """One (batch, tile) program.
+
+    Blocks: x_tile (TILE, C), xb (N, C), u (N, F), v (TILE, F);
+    outputs amax/amin/s1/s2 (TILE, F), idx (TILE, k) int32.
+    """
+    x_tile = x_tile_ref[:]  # (TILE, C)
+    xb = xb_ref[:]  # (N, C)
+    N = xb.shape[0]
+
+    # negative squared distance, up to a per-row constant (|x_tile|^2), which
+    # does not affect per-row ranking: -|x_tile - xb|^2 ~ 2<x_tile, xb> - |xb|^2
+    neg_d = 2.0 * _dot_acc(x_tile, xb.T) - jnp.sum(xb * xb, axis=1)[None, :]  # (TILE, N)
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
+    u = u_ref[:]  # (N, F)
+    v = v_ref[:]  # (TILE, F)
+
+    # fori_loop (not a python unroll): an unrolled k-loop keeps every
+    # iteration's (TILE, N) one-hot live on the Mosaic stack and OOMs VMEM at
+    # F=256; the loop body reuses one set of buffers. No dynamic ref
+    # slicing inside the loop (scf.for fails to legalize it) — the idx rows
+    # accumulate in a carried (k, TILE) register via a masked select.
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, TILE), 0)
+
+    def body(j, carry):
+        neg_d, amax, amin, s1, s2, idx_acc = carry
+        rowmax = jnp.max(neg_d, axis=1, keepdims=True)  # (TILE, 1)
+        eligible = neg_d == rowmax
+        # lowest index among ties (lax.top_k / torch.topk tie order)
+        j_sel = jnp.min(jnp.where(eligible, iota_n, N), axis=1, keepdims=True)
+        onehot = (iota_n == j_sel).astype(jnp.float32)  # (TILE, N)
+        a = _onehot_dot(onehot, u) + v  # (TILE, F)
+        idx_acc = jnp.where(iota_k == j, jnp.broadcast_to(j_sel.T, (k, TILE)), idx_acc)
+        return (
+            jnp.where(onehot > 0, -jnp.inf, neg_d),
+            jnp.maximum(amax, a),
+            jnp.minimum(amin, a),
+            s1 + a,
+            s2 + a * a,
+            idx_acc,
+        )
+
+    init = (
+        neg_d,
+        jnp.full_like(v, -jnp.inf),
+        jnp.full_like(v, jnp.inf),
+        jnp.zeros_like(v),
+        jnp.zeros_like(v),
+        jnp.zeros((k, TILE), jnp.int32),
+    )
+    _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(0, k, body, init)
+
+    amax_ref[:] = amax
+    amin_ref[:] = amin
+    s1_ref[:] = s1
+    s2_ref[:] = s2
+    # idx laid out (k, TILE): lane dim = TILE (128-aligned); a (TILE, k)
+    # layout would put k=20 on lanes, which Mosaic cannot tile.
+    idx_ref[:] = idx_acc
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
+                damax_ref, damin_ref, ds1_ref, ds2_ref,
+                du_ref, dv_ref, *, k: int):
+    """Mirror of the forward: da_k = damax*selmax + damin*selmin + ds1 +
+    2*a_k*ds2; dU += onehot^T @ da_k (accumulated across the batch row's
+    tiles — the dU output block revisits per-b), dV = sum_k da_k."""
+    t = pl.program_id(1)
+
+    u = u_ref[:]  # (N, F)
+    v = v_ref[:]  # (TILE, F)
+    amax = amax_ref[:]
+    amin = amin_ref[:]
+    damax = damax_ref[:]
+    damin = damin_ref[:]
+    ds1 = ds1_ref[:]
+    ds2 = ds2_ref[:]
+    N = u.shape[0]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
+
+    @pl.when(t == 0)
+    def _():
+        du_ref[:] = jnp.zeros(du_ref.shape, du_ref.dtype)
+
+    idx = idx_ref[:]  # (k, TILE), read once; rows selected by masked reduce
+    k_num = idx.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_num, TILE), 0)
+    iota_nT = jax.lax.broadcasted_iota(jnp.int32, (N, TILE), 0)
+
+    def body(j, carry):
+        # the first-hit masks are carried as {0,1} f32 — scf.for cannot carry
+        # i1 vectors through Mosaic legalization
+        assigned_max, assigned_min, dv, du_acc = carry
+        row = jnp.sum(jnp.where(iota_k == j, idx, 0), axis=0, keepdims=True)  # (1, TILE)
+        # one-hot built directly in transposed (N, TILE) layout — no in-loop
+        # transpose, both uses contract it via dot/dot_general on the MXU
+        onehotT = (iota_nT == row).astype(jnp.float32)  # [n, t] = (idx_t == n)
+        a = _onehotT_dot(onehotT, u) + v  # (TILE, F)
+        selmax = jnp.where(a == amax, 1.0, 0.0) * (1.0 - assigned_max)
+        selmin = jnp.where(a == amin, 1.0, 0.0) * (1.0 - assigned_min)
+        da = damax * selmax + damin * selmin + ds1 + 2.0 * a * ds2
+        da_hi, da_lo = _split_bf16(da)
+        du_new = (
+            du_acc
+            + jnp.dot(onehotT, da_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(onehotT, da_lo, preferred_element_type=jnp.float32)
+        )  # (N, F)
+        return (
+            jnp.maximum(assigned_max, selmax),
+            jnp.maximum(assigned_min, selmin),
+            dv + da,
+            du_new,
+        )
+
+    init = (
+        jnp.zeros_like(v),
+        jnp.zeros_like(v),
+        jnp.zeros_like(v),
+        jnp.zeros_like(u),
+    )
+    _, _, dv, du_acc = jax.lax.fori_loop(0, k, body, init)
+
+    du_ref[:] += du_acc
+    dv_ref[:] = dv
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_lanes(a, to: int = 128):
+    """Zero-pad the channel (lane) axis to a multiple of 128 — Mosaic cannot
+    slice sub-128 lane widths (e.g. the C=3 xyz input of EdgeConv block 1).
+    Zero channels change neither distances nor activations."""
+    d = a.shape[-1]
+    pad = (-d) % to
+    if pad == 0:
+        return a
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+
+def _fwd_pallas(x, u, v, k: int, interpret: bool = False):
+    """Returns (amax, amin, s1, s2) in (B, N, F) and idx_t in (B, k, N)."""
+    F = u.shape[-1]
+    x = _pad_lanes(x)
+    u = _pad_lanes(u)
+    v = _pad_lanes(v)
+    B, N, C = x.shape
+    Fp = u.shape[-1]
+    n_tiles = N // TILE
+    grid = (B, n_tiles)
+
+    kernel = functools.partial(_fwd_kernel, k=k)
+    out_shape = (
+        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # amax
+        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # amin
+        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # s1
+        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # s2
+        jax.ShapeDtypeStruct((B, k, N), jnp.int32),  # idx (k on sublanes)
+    )
+    tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, N, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    amax, amin, s1, s2, idx_t = pl.pallas_call(
+        _squeeze_batch(kernel, n_in=4, n_out=5),
+        grid=grid,
+        in_specs=[tile_spec(C), full_spec(C), full_spec(Fp), tile_spec(Fp)],
+        out_specs=(
+            tile_spec(Fp), tile_spec(Fp), tile_spec(Fp), tile_spec(Fp),
+            pl.BlockSpec((1, k, TILE), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, x, u, v)
+    if Fp != F:
+        amax, amin, s1, s2 = (a[..., :F] for a in (amax, amin, s1, s2))
+    return amax, amin, s1, s2, idx_t
+
+
+def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
+                interpret: bool = False):
+    F = u.shape[-1]
+    u, v, amax, amin, damax, damin, ds1, ds2 = (
+        _pad_lanes(a) for a in (u, v, amax, amin, damax, damin, ds1, ds2)
+    )
+    B, N, Fp = u.shape
+    k = idx_t.shape[1]
+    n_tiles = N // TILE
+    grid = (B, n_tiles)
+
+    kernel = functools.partial(_bwd_kernel, k=k)
+    tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, N, d), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    du, dv = pl.pallas_call(
+        _squeeze_batch(kernel, n_in=9, n_out=2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, k, TILE), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            full_spec(Fp), tile_spec(Fp), tile_spec(Fp), tile_spec(Fp),
+            tile_spec(Fp), tile_spec(Fp), tile_spec(Fp), tile_spec(Fp),
+        ],
+        out_specs=(full_spec(Fp), tile_spec(Fp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(idx_t, u, v, amax, amin, damax, damin, ds1, ds2)
+    if Fp != F:
+        du, dv = du[..., :F], dv[..., :F]
+    return du, dv
+
+
+def _squeeze_batch(kernel, n_in: int, n_out: int):
+    """Adapt a kernel written for 2-D refs to the (1, rows, cols) blocks the
+    (b, t) grid delivers."""
+
+    def wrapped(*refs):
+        squeezed = [r.at[0] for r in refs]
+        return kernel(*squeezed)
+
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_edgeconv_reduce(x, u, v, k: int, interpret: bool = False):
+    """Fused kNN + gather + per-(b,n,f) reductions.
+
+    Args:
+        x: (B, N, C) positions/features defining the kNN graph.
+        u: (B, N, F) neighbor-side projections (x @ W1).
+        v: (B, N, F) center-side projections (x @ (W2 - W1)).
+        k: neighbors per point (static).
+    Returns:
+        amax, amin, s1, s2: (B, N, F) — max/min/sum/sum-of-squares over the k
+        neighbor activations a_j = u[idx_j] + v; and idx (B, N, k) int32.
+    """
+    amax, amin, s1, s2, idx_t = _fwd_pallas(x, u, v, k, interpret)
+    return amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2)
+
+
+def _fused_fwd(x, u, v, k, interpret):
+    amax, amin, s1, s2, idx_t = _fwd_pallas(x, u, v, k, interpret)
+    out = (amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2))
+    return out, (x, idx_t, u, v, amax, amin)
+
+
+def _fused_bwd(k, interpret, res, grads):
+    x, idx_t, u, v, amax, amin = res
+    damax, damin, ds1, ds2, _didx = grads
+    du, dv = _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2, interpret)
+    # x only selects neighbors (non-differentiable) -> zero cotangent; its
+    # differentiable influence reaches the loss through u and v.
+    return jnp.zeros_like(x), du, dv
+
+
+fused_edgeconv_reduce.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp reference (all backends; also the CPU fallback path)
+# ---------------------------------------------------------------------------
+
+
+def edgeconv_reduce_reference(x, u, v, k: int):
+    """Same contract as fused_edgeconv_reduce, in plain XLA ops."""
+    from sug_tpu.ops.geometry import index_points, knn_indices
+
+    idx = knn_indices(x, k)  # (B, N, k)
+    a = index_points(u, idx) + v[:, :, None, :]  # (B, N, k, F)
+    return (
+        jnp.max(a, axis=2),
+        jnp.min(a, axis=2),
+        jnp.sum(a, axis=2),
+        jnp.sum(a * a, axis=2),
+        idx,
+    )

@@ -35,13 +35,39 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
         (B, N, M) squared distances. Computed with the ``|x|^2 - 2xy + |y|^2``
         matmul trick so the inner product lands on the MXU.
     """
-    # -2 * src @ dst^T  -> (B, N, M)
+    # -2 * src @ dst^T  -> (B, N, M). Precision.HIGH (bf16_3x on TPU): with
+    # single-pass bf16 the rounded distances reorder near-tied neighbors vs
+    # the reference's f32 kNN — a real parity issue, measured as O(1) feature
+    # differences downstream. 3-pass is ~f32-accurate at 3x MXU cost on an op
+    # that is a small share of the step.
     dist = -2.0 * jnp.einsum(
-        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32
+        "bnc,bmc->bnm", src, dst,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH,
     )
     dist = dist + jnp.sum(src**2, axis=-1, keepdims=True)  # (B, N, 1)
     dist = dist + jnp.sum(dst**2, axis=-1)[:, None, :]  # (B, 1, M)
     return dist
+
+
+def _topk_neg_dist(neg_dist: jax.Array, k: int) -> jax.Array:
+    """Top-k indices along the last axis, TPU-tuned.
+
+    On TPU ``lax.approx_max_k`` hits the hardware PartialReduce op instead of
+    a full O(N log N) sort: measured 16.5ms vs 22-25ms per (64,1024,1024)
+    call at recall_target=1.0 — where it is EXACT (verified: 100.000%
+    neighbor-set equality vs lax.top_k at every EdgeConv width,
+    tools/knn_experiment.py). Setting SUG_KNN_RECALL < 1 (e.g. 0.95, ~2.7x
+    faster still) opts into genuinely approximate neighbors — a documented deviation
+    from the reference's exact kNN.
+    """
+    if jax.default_backend() == "tpu":
+        import os
+
+        recall = float(os.environ.get("SUG_KNN_RECALL", "1.0"))
+        _, idx = jax.lax.approx_max_k(neg_dist, k, recall_target=recall)
+        return idx.astype(jnp.int32)
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx
 
 
 def knn_indices(x: jax.Array, k: int) -> jax.Array:
@@ -59,8 +85,7 @@ def knn_indices(x: jax.Array, k: int) -> jax.Array:
     if N > 4096:
         return knn_blockwise(x, k)
     neg_dist = -square_distance(x, x)  # (B, N, N)
-    _, idx = jax.lax.top_k(neg_dist, k)
-    return idx
+    return _topk_neg_dist(neg_dist, k)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

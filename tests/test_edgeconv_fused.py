@@ -1,0 +1,173 @@
+"""Fused EdgeConv kernel (sug_tpu/ops/edgeconv_pallas.py): correctness of the
+Pallas kernel (interpret mode on CPU) and equivalence of the restructured
+_EdgeConvBlock against the reference formulation
+(get_graph_feature -> Dense -> BatchNorm -> leaky_relu -> max over k,
+reference model/Model.py:54-121)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sug_tpu.ops.edgeconv_pallas import (
+    edgeconv_reduce_reference,
+    fused_edgeconv_reduce,
+)
+
+
+def _data(b=2, n=256, c=8, f=32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32)
+    return x, u, v
+
+
+class TestFusedKernelInterpret:
+    """Pallas kernel in interpret mode vs the pure-XLA reference."""
+
+    def test_forward_outputs(self):
+        x, u, v = _data()
+        ref = edgeconv_reduce_reference(x, u, v, 5)
+        got = fused_edgeconv_reduce(x, u, v, 5, True)
+        for name, r, g in zip(("amax", "amin", "s1", "s2"), ref[:4], got[:4]):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5, err_msg=name
+            )
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got[4]), -1), np.sort(np.asarray(ref[4]), -1)
+        )
+
+    def test_gradients(self):
+        x, u, v = _data(seed=1)
+
+        def loss(fn):
+            def inner(u, v):
+                amax, amin, s1, s2, _ = fn(u, v)
+                return jnp.sum(1.3 * amax - 0.7 * amin + 0.01 * s1 + 0.001 * s2)
+
+            return inner
+
+        gf = jax.grad(
+            loss(lambda u, v: fused_edgeconv_reduce(x, u, v, 5, True)), argnums=(0, 1)
+        )(u, v)
+        gr = jax.grad(
+            loss(lambda u, v: edgeconv_reduce_reference(x, u, v, 5)), argnums=(0, 1)
+        )(u, v)
+        for name, a, b in zip(("du", "dv"), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+            )
+
+    def test_duplicate_points_tie_break(self):
+        """Exact-duplicate points create distance ties; the kernel must pick
+        the lowest index, matching lax.top_k."""
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 128, 4)).astype(np.float32)
+        x[0, 64] = x[0, 0]  # duplicate
+        x[0, 65] = x[0, 0]
+        x = jnp.asarray(x)
+        u = jnp.asarray(rng.normal(size=(1, 128, 16)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 128, 16)), jnp.float32)
+        ref = edgeconv_reduce_reference(x, u, v, 4)
+        got = fused_edgeconv_reduce(x, u, v, 4, True)
+        np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
+class TestEdgeConvBlockEquivalence:
+    """_EdgeConvBlock (fused formulation) == reference computation."""
+
+    def _reference_block(self, params, batch_stats, x, k, train):
+        """get_graph_feature -> e @ W -> flax-BN -> leaky_relu -> max."""
+        from sug_tpu.ops.geometry import get_graph_feature
+
+        W = params["conv_dense"]["kernel"]  # (2C, F)
+        e = get_graph_feature(x, k=k)  # (B, N, k, 2C)
+        a = jnp.einsum("bnkc,cf->bnkf", e, W)
+        if train:
+            mean = jnp.mean(a, axis=(0, 1, 2))
+            var = jnp.mean(a * a, axis=(0, 1, 2)) - mean**2
+        else:
+            mean, var = batch_stats["bn_mean"], batch_stats["bn_var"]
+        y = (a - mean) * jax.lax.rsqrt(var + 1e-5) * params["bn_scale"] + params[
+            "bn_bias"
+        ]
+        y = jax.nn.leaky_relu(y, negative_slope=0.01)
+        return jnp.max(y, axis=2), mean, var
+
+    @pytest.mark.parametrize("train", [True, False])
+    def test_block_matches_reference(self, train):
+        from sug_tpu.models.dgcnn import K_NEIGHBORS, _EdgeConvBlock
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 128, 8)), jnp.float32)
+        block = _EdgeConvBlock(32)
+        variables = block.init(jax.random.key(0), x, True)
+        params = variables["params"]
+        stats = jax.tree.map(
+            lambda a: jnp.asarray(np.abs(rng.normal(size=a.shape)) + 0.5, a.dtype),
+            variables["batch_stats"],
+        )
+        # random scale incl. NEGATIVE channels (exercises the min branch)
+        params = dict(params)
+        params["bn_scale"] = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+
+        if train:
+            got, mut = block.apply(
+                {"params": params, "batch_stats": stats}, x, True,
+                mutable=["batch_stats"],
+            )
+        else:
+            got = block.apply({"params": params, "batch_stats": stats}, x, False)
+        want, mean, var = self._reference_block(params, stats, x, K_NEIGHBORS, train)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+        if train:
+            # running stats follow flax BN's momentum-0.9 update
+            np.testing.assert_allclose(
+                np.asarray(mut["batch_stats"]["bn_mean"]),
+                np.asarray(0.9 * stats["bn_mean"] + 0.1 * mean),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(mut["batch_stats"]["bn_var"]),
+                np.asarray(0.9 * stats["bn_var"] + 0.1 * var),
+                rtol=1e-4, atol=1e-5,
+            )
+
+    def test_block_gradients_match_reference(self):
+        from sug_tpu.models.dgcnn import K_NEIGHBORS, _EdgeConvBlock
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 128, 8)), jnp.float32)
+        block = _EdgeConvBlock(32)
+        variables = block.init(jax.random.key(0), x, True)
+        params = dict(variables["params"])
+        params["bn_scale"] = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+        stats = variables["batch_stats"]
+
+        def loss_block(params):
+            y, _ = block.apply(
+                {"params": params, "batch_stats": stats}, x, True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(jnp.tanh(y))
+
+        def loss_ref(params):
+            y, _, _ = self._reference_block(params, stats, x, K_NEIGHBORS, True)
+            return jnp.sum(jnp.tanh(y))
+
+        gb = jax.grad(loss_block)(params)
+        gr = jax.grad(loss_ref)(params)
+        for path in (("conv_dense", "kernel"), ("bn_scale",), ("bn_bias",)):
+            a, b = gb, gr
+            for p in path:
+                a, b = a[p], b[p]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
+                err_msg="/".join(path),
+            )
