@@ -54,7 +54,9 @@ def _make_train_iter(dataset, cfg, batch_size, seed):
 
 
 def run_dg_training(args, cfg, num_points: int = 1024):
-    seed = 666 + int(cfg.get("LOCAL_RANK", 0))
+    from sug_tpu.utils.config import resolve_seed
+
+    seed = resolve_seed(args, cfg)
     np.random.seed(seed)
 
     mesh = None
@@ -132,6 +134,7 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         criterion=criterion,
         mesh=mesh,
         augment=True,
+        donate=True,
     )
     state = trainer.init_state(seed=seed, batch_size=batch_size, num_points=num_points)
 

@@ -88,6 +88,7 @@ class DGTrainer:
         criterion=None,
         mesh=None,
         augment: bool = True,
+        donate: bool = False,
     ):
         self.cfg = cfg
         self.model = NetMDA(model_name=model_name, num_class=num_class)
@@ -100,6 +101,11 @@ class DGTrainer:
 
         methods = cfg["METHODS"]
         self._grl = bool(methods.get("GRL", False))
+        # donate=True aliases the train state's buffers into the step's
+        # outputs (XLA reuses params/opt-state HBM in place). The training
+        # loops enable it; callers that reuse an old state (tests, bench
+        # fixed-state probes) must leave it off.
+        self._donate = {"donate_argnums": (0,)} if donate else {}
         self._jit_kwargs = {}
         if mesh is not None:
             rep = replicated_sharding(mesh)
@@ -109,10 +115,12 @@ class DGTrainer:
                 out_shardings=rep,
             )
         self._train_step_cls = jax.jit(
-            functools.partial(self._train_step, mmd_on=False), **self._jit_kwargs
+            functools.partial(self._train_step, mmd_on=False),
+            **self._jit_kwargs, **self._donate,
         )
         self._train_step_full = jax.jit(
-            functools.partial(self._train_step, mmd_on=True), **self._jit_kwargs
+            functools.partial(self._train_step, mmd_on=True),
+            **self._jit_kwargs, **self._donate,
         )
 
     # ------------------------------------------------------------------

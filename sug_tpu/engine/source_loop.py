@@ -26,7 +26,9 @@ from sug_tpu.utils.logging import MetricsWriter, create_logger, exp_log_folder_c
 
 
 def run_source_training(args, cfg, num_points: int = 1024):
-    seed = 666
+    from sug_tpu.utils.config import resolve_seed
+
+    seed = resolve_seed(args, cfg)
     np.random.seed(seed)
 
     mesh = None
@@ -79,6 +81,7 @@ def run_source_training(args, cfg, num_points: int = 1024):
         weight_decay=float(opt_cfg["WEIGHT_DECAY"]),
         mesh=mesh,
         augment=True,
+        donate=True,
     )
     state = trainer.init_state(seed=seed, batch_size=batch_size, num_points=num_points)
 

@@ -39,6 +39,7 @@ class SourceTrainer:
         criterion=None,
         mesh=None,
         augment: bool = True,
+        donate: bool = False,
     ):
         self.model = make_classifier(model_name, num_class)
         self.model_name = model_name
@@ -59,6 +60,9 @@ class SourceTrainer:
             jit_kwargs = dict(
                 in_shardings=(rep, bsh, bsh, rep, rep), out_shardings=rep
             )
+        if donate:
+            # alias the state buffers into the step outputs (HBM headroom)
+            jit_kwargs["donate_argnums"] = (0,)
         self._train_step = jax.jit(self._step, **jit_kwargs)
 
     def init_state(self, seed: int, batch_size: int, num_points: int) -> SourceTrainState:

@@ -66,3 +66,113 @@ def kernel_point_disposition(
     if fixed == "center":
         kp[0] = 0.0
     return (kp * radius).astype(np.float32)
+
+
+def kernel_point_optimization_gd(
+    num_points: int = 15,
+    dimension: int = 3,
+    fixed: str = "center",
+    num_kernels: int = 100,
+    ratio: float = 0.66,
+    seed: int = 42,
+) -> np.ndarray:
+    """Gradient-descent kernel-point optimization — the reference's
+    ``kernel_point_optimization_debug`` (model/KPConv_kernels.py:268-414):
+    inverse-square repulsion between points + a ``10 x`` radial attraction,
+    normalized-gradient steps with clipping, run on ``num_kernels`` random
+    candidates; the candidate with the lowest final max-gradient-norm wins.
+    Deterministic (seeded) and fully vectorized over candidates.
+
+    Returns (num_points, dimension) float32, unit-radius scale (mean radius of
+    the movable points == ``ratio``).
+    """
+    rng = np.random.default_rng(seed)
+    radius0, clip, thresh = 1.0, 0.05, 1e-5
+    moving_factor, decay = 1e-2, 0.9995
+
+    # uniform init inside the sphere of radius sqrt(0.5) (reference keeps
+    # d2 < 0.5 * radius0^2, model/KPConv_kernels.py:304-310)
+    kp = np.zeros((num_kernels, num_points, dimension))
+    filled = 0
+    while filled < num_kernels * num_points:
+        cand = rng.uniform(-radius0, radius0, (num_kernels * num_points * 2, dimension))
+        cand = cand[np.sum(cand**2, axis=1) < 0.5 * radius0**2]
+        take = min(len(cand), num_kernels * num_points - filled)
+        kp.reshape(-1, dimension)[filled : filled + take] = cand[:take]
+        filled += take
+
+    if fixed == "center":
+        kp[:, 0, :] = 0.0
+    if fixed == "verticals":
+        kp[:, :3, :] = 0.0
+        kp[:, 1, -1] += 2 * radius0 / 3
+        kp[:, 2, -1] -= 2 * radius0 / 3
+
+    old_norms = np.zeros((num_kernels, num_points))
+    final_norms = np.zeros(num_kernels)
+    for step in range(10000):
+        diff = kp[:, :, None, :] - kp[:, None, :, :]
+        d2 = np.sum(diff**2, axis=-1)
+        inter = np.sum(diff / (d2[..., None] ** 1.5 + 1e-6), axis=2)
+        grads = inter + 10.0 * kp
+        if fixed == "verticals":
+            grads[:, 1:3, :-1] = 0.0
+
+        norms = np.sqrt(np.sum(grads**2, axis=-1))
+        final_norms = np.max(norms, axis=1)
+        movable = {"center": 1, "verticals": 3}.get(fixed, 0)
+        if np.max(np.abs(old_norms[:, movable:] - norms[:, movable:])) < thresh:
+            break
+        old_norms = norms
+
+        moving = np.minimum(moving_factor * norms, clip)
+        moving[:, :movable] = 0.0
+        kp -= moving[..., None] * grads / (norms[..., None] + 1e-6)
+        moving_factor *= decay
+
+    best = int(np.argmin(final_norms))
+    points = kp[best]
+    r = np.sqrt(np.sum(points**2, axis=-1))
+    movable = {"center": 1, "verticals": 3}.get(fixed, 0)
+    points = points * (ratio / max(np.mean(r[movable:] if movable else r), 1e-9))
+    if fixed == "center":
+        points[0] = 0.0
+    return points.astype(np.float32)
+
+
+def load_kernels(
+    radius: float,
+    num_kpoints: int = 15,
+    dimension: int = 3,
+    fixed: str = "center",
+    method: str = "lloyd",
+    random_init: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """Disposition loader with the reference's load-time randomization.
+
+    ``method``: 'lloyd' (spherical Lloyd, default — the reference switches to
+    Lloyd for >30 points) or 'gd' (the gradient-descent optimizer).
+    ``random_init=True`` reproduces ``load_kernels``'s per-model-instance
+    randomization (model/KPConv_kernels.py:460-497): a random z-axis rotation
+    (the reference's ``fixed != 'vertical'`` check never matches its own
+    'verticals' spelling, so 3-D always takes the z-rotation branch) plus
+    N(0, 0.01) jitter, applied BEFORE scaling to ``radius``.
+    """
+    if method == "gd":
+        kp = kernel_point_optimization_gd(num_kpoints, dimension, fixed)
+    else:
+        kp = kernel_point_disposition(num_kpoints, dimension, fixed, radius=1.0)
+    kp = np.array(kp, dtype=np.float64)
+
+    if random_init:
+        rng = np.random.default_rng(seed)
+        theta = rng.random() * 2 * np.pi
+        c, s = np.cos(theta), np.sin(theta)
+        if dimension == 3:
+            R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        else:
+            R = np.array([[c, -s], [s, c]])
+        kp = kp + rng.normal(scale=0.01, size=kp.shape)
+        kp = kp @ R
+    return (kp * radius).astype(np.float32)

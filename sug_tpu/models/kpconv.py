@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sug_tpu.models.kernel_points import kernel_point_disposition
+from sug_tpu.models.kernel_points import load_kernels
 from sug_tpu.ops.geometry import farthest_point_sample, index_points, square_distance
 
 # ---------------------------------------------------------------------------
@@ -60,6 +60,9 @@ KPCONV_DEFAULTS = dict(
     aggregation_mode="sum",
     num_layers=5,
     deform_fitting_power=1.0,
+    kp_method="lloyd",  # or "gd" (reference kernel_point_optimization_debug)
+    kp_random_init=False,  # reference load-time rotation + 0.01 jitter
+    kp_seed=0,
     architecture=(
         "simple",
         "resnetb",
@@ -124,13 +127,24 @@ class KPConvOp(nn.Module):
     fixed: str = "center"
     deformable: bool = False
     modulated: bool = False
+    # reference load-time disposition options (model/KPConv_kernels.py:417+):
+    # kp_method 'gd' uses the gradient-descent optimizer; kp_random_init adds
+    # the per-instance z-rotation + 0.01 jitter. Defaults stay deterministic.
+    kp_method: str = "lloyd"
+    kp_random_init: bool = False
+    kp_seed: int = 0
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_idx, neighb_mask, x):
         K = self.num_kpoints
         in_ch = x.shape[-1]
         kp = jnp.asarray(
-            kernel_point_disposition(K, 3, self.fixed, radius=self.radius)
+            load_kernels(
+                self.radius, K, 3, self.fixed,
+                method=self.kp_method,
+                random_init=self.kp_random_init,
+                seed=self.kp_seed,
+            )
         )  # (K, 3)
 
         neighbors = index_points(s_pts, neighb_idx)  # (B, Q, k, 3)
@@ -140,7 +154,9 @@ class KPConvOp(nn.Module):
             offset_dim = (4 if self.modulated else 3) * K
             offset_feats = KPConvOp(
                 offset_dim, self.kp_extent, self.radius, K,
-                self.influence, self.aggregation, self.fixed, name="offset_conv",
+                self.influence, self.aggregation, self.fixed,
+                kp_method=self.kp_method, kp_random_init=self.kp_random_init,
+                kp_seed=self.kp_seed, name="offset_conv",
             )(q_pts, s_pts, neighb_idx, neighb_mask, x)
             offset_feats = offset_feats + self.param(
                 "offset_bias", nn.initializers.zeros, (offset_dim,)
@@ -279,6 +295,9 @@ class SimpleBlock(nn.Module):
             self.cfg["num_kernel_points"], self.cfg["KP_influence"],
             self.cfg["aggregation_mode"], self.cfg["fixed_kernel_points"],
             deformable=self.deformable, modulated=self.cfg["modulated"],
+            kp_method=self.cfg.get("kp_method", "lloyd"),
+            kp_random_init=self.cfg.get("kp_random_init", False),
+            kp_seed=self.cfg.get("kp_seed", 0),
             name="KPConv",
         )(q_pts, s_pts, idx, mask, x)
         return nn.leaky_relu(InstanceNorm()(x), 0.1)
@@ -305,6 +324,9 @@ class ResnetBottleneckBlock(nn.Module):
             self.cfg["num_kernel_points"], self.cfg["KP_influence"],
             self.cfg["aggregation_mode"], self.cfg["fixed_kernel_points"],
             deformable=self.deformable, modulated=self.cfg["modulated"],
+            kp_method=self.cfg.get("kp_method", "lloyd"),
+            kp_random_init=self.cfg.get("kp_random_init", False),
+            kp_seed=self.cfg.get("kp_seed", 0),
             name="KPConv",
         )(q_pts, s_pts, idx, mask, h)
         h = nn.leaky_relu(InstanceNorm()(h), 0.1)

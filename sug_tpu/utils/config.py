@@ -167,3 +167,18 @@ def log_config_to_file(config, pre="cfg", logger=None):
             log_config_to_file(val, pre=f"{pre}.{key}", logger=logger)
             continue
         logger.info("%s.%s: %s" % (pre, key, val))
+
+
+def resolve_seed(args, cfg=None) -> int:
+    """Consume ``--fix_random_seed`` (reference train_dg_single_gpu.py gates
+    set_random_seed(666 + LOCAL_RANK) on it, utils/common_utils.py:81-88).
+
+    Fixed: the reference's deterministic seed. Unfixed: fresh OS entropy per
+    run — the reference leaves its RNGs unseeded in that case.
+    """
+    if getattr(args, "fix_random_seed", False):
+        local_rank = int(cfg.get("LOCAL_RANK", 0)) if cfg is not None else 0
+        return 666 + local_rank
+    import secrets
+
+    return int(secrets.randbits(31))

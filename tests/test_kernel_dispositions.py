@@ -1,0 +1,109 @@
+"""Kernel-point dispositions (GD optimizer + load-time randomization),
+resolve_seed, and the KPConv neighbor-calibration helper."""
+
+from __future__ import annotations
+
+import types
+
+import numpy as np
+
+from sug_tpu.models.kernel_points import (
+    kernel_point_disposition,
+    kernel_point_optimization_gd,
+    load_kernels,
+)
+
+
+class TestGDOptimizer:
+    def test_center_fixed_and_well_spread(self):
+        kp = kernel_point_optimization_gd(15, 3, "center", num_kernels=8)
+        assert kp.shape == (15, 3)
+        np.testing.assert_array_equal(kp[0], 0.0)
+        # mean radius of movable points normalized to the 0.66 ratio
+        r = np.linalg.norm(kp[1:], axis=1)
+        np.testing.assert_allclose(r.mean(), 0.66, rtol=1e-5)
+        # repulsion: no two points collapse
+        d = np.linalg.norm(kp[:, None] - kp[None, :], axis=-1)
+        d[np.arange(15), np.arange(15)] = np.inf
+        assert d.min() > 0.2
+
+    def test_verticals_constraint(self):
+        kp = kernel_point_optimization_gd(15, 3, "verticals", num_kernels=4)
+        # first three points stay on the z-axis (reference
+        # model/KPConv_kernels.py:316-319 + gradient zeroing :352)
+        np.testing.assert_allclose(kp[:3, :2], 0.0, atol=1e-6)
+        assert kp[1, 2] > 0 and kp[2, 2] < 0
+
+    def test_deterministic(self):
+        a = kernel_point_optimization_gd(7, 3, "center", num_kernels=4)
+        b = kernel_point_optimization_gd(7, 3, "center", num_kernels=4)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestLoadKernels:
+    def test_default_matches_lloyd_disposition(self):
+        np.testing.assert_allclose(
+            load_kernels(1.2, 15, 3, "center"),
+            kernel_point_disposition(15, 3, "center", radius=1.2),
+            rtol=1e-6,
+        )
+
+    def test_random_init_rotation_and_jitter(self):
+        base = load_kernels(1.0, 15, 3, "center")
+        randomized = load_kernels(1.0, 15, 3, "center", random_init=True, seed=3)
+        # rotated+jittered differs from the base but preserves radii to
+        # within the 0.01 jitter scale, and z is preserved up to jitter
+        # (z-axis rotation only, the reference's actual 3-D branch)
+        assert not np.allclose(base, randomized)
+        np.testing.assert_allclose(
+            np.linalg.norm(randomized, axis=1),
+            np.linalg.norm(base, axis=1),
+            atol=0.05,
+        )
+        np.testing.assert_allclose(randomized[:, 2], base[:, 2], atol=0.05)
+        # seeded: reproducible
+        np.testing.assert_array_equal(
+            randomized, load_kernels(1.0, 15, 3, "center", random_init=True, seed=3)
+        )
+
+    def test_gd_method_dispatch(self):
+        kp = load_kernels(1.0, 9, 3, "center", method="gd")
+        assert kp.shape == (9, 3)
+        np.testing.assert_array_equal(kp[0], 0.0)
+
+
+class TestResolveSeed:
+    def test_fixed_seed(self):
+        from sug_tpu.utils.config import ConfigDict, resolve_seed
+
+        args = types.SimpleNamespace(fix_random_seed=True)
+        assert resolve_seed(args, ConfigDict({"LOCAL_RANK": 0})) == 666
+        assert resolve_seed(args, ConfigDict({"LOCAL_RANK": 3})) == 669
+
+    def test_unfixed_seed_varies(self):
+        from sug_tpu.utils.config import resolve_seed
+
+        args = types.SimpleNamespace(fix_random_seed=False)
+        seeds = {resolve_seed(args) for _ in range(8)}
+        assert len(seeds) > 1  # fresh entropy, not a constant
+
+
+class TestCalibrateNeighbors:
+    def test_measures_and_recommends(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        try:
+            from calibrate_kpconv import measure
+        finally:
+            sys.path.remove("/root/repo/tools")
+        from sug_tpu.models.kpconv import KPCONV_DEFAULTS
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(8, 256, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True).max(1, keepdims=True)
+        limits, stats = measure(pts, dict(KPCONV_DEFAULTS), keep_ratio=0.8, batch=4)
+        assert len(limits) == KPCONV_DEFAULTS["num_layers"]
+        assert all(l >= 1 for l in limits)
+        # every point is its own neighbor, so counts are at least 1
+        assert all(s["mean_neighbors"] >= 1.0 for s in stats)

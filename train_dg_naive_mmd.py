@@ -36,7 +36,9 @@ warnings.filterwarnings("ignore")
 
 def main():
     args, cfg = parser_config()
-    seed = 666
+    from sug_tpu.utils.config import resolve_seed
+
+    seed = resolve_seed(args, cfg)
     np.random.seed(seed)
 
     output_dir, ckpt_dir = exp_log_folder_creator(cfg, extra_tag=args.source)
