@@ -98,6 +98,7 @@ class PointCloudDataset:
         aug: bool = True,
         model: str = "Pointnet",
         seed: int = 666,
+        fixed_x_rotation: Optional[bool] = None,
     ):
         assert pts.shape[0] == labels.shape[0], "pts/label count mismatch"
         self.dataset_type = dataset_type
@@ -109,7 +110,14 @@ class PointCloudDataset:
         rng = np.random.default_rng(seed)
         pts = np.asarray(pts, dtype=np.float32)[..., :3]
         pts = normalize_pc_np(pts)
-        if dataset_type != "modelnet" and model == "DGCNN":
+        # the reference's fixed -pi/2 x-rotation for non-modelnet data under
+        # DGCNN (data/dataloader.py:308-310). ``fixed_x_rotation`` overrides
+        # the auto rule (None): the rotation aligns the real PointDA exports
+        # but MISaligns already-aligned data (e.g. the synthetic tree) —
+        # set DATASET.FIXED_X_ROTATION: False in the config to disable.
+        if fixed_x_rotation is None:
+            fixed_x_rotation = dataset_type != "modelnet" and model == "DGCNN"
+        if fixed_x_rotation:
             pts = (pts @ _rot_x_np(-np.pi / 2)).astype(np.float32)
         pts = fit_num_points(pts, num_points, rng)
 
@@ -149,13 +157,15 @@ def create_single_dataset(
     pc_num: int = DEFAULT_NUM_POINTS,
     model: str = "Pointnet",
     data_root: Optional[str] = None,
+    fixed_x_rotation: Optional[bool] = None,
 ) -> PointCloudDataset:
     """Full-dataset factory (reference data/dataloader.py:350-356)."""
     assert dataset_type in DATASET_LIST, f"Not supported dataset {dataset_type}!"
     pts, labels = load_dataset_full(dataset_type, status, data_root)
     assert len(set(labels.tolist())) == NUM_CLASS, "The class in labels is less than 10!"
     return PointCloudDataset(
-        dataset_type, pts, labels, status=status, num_points=pc_num, aug=aug, model=model
+        dataset_type, pts, labels, status=status, num_points=pc_num, aug=aug,
+        model=model, fixed_x_rotation=fixed_x_rotation,
     )
 
 
@@ -168,6 +178,7 @@ def create_splitted_dataset(
     aug: bool = True,
     model: str = "Pointnet",
     data_root: Optional[str] = None,
+    fixed_x_rotation: Optional[bool] = None,
 ):
     """Sub-domain pair factory (reference data/dataloader.py:334-347):
     runs the train-time splitter and wraps both subsets."""
@@ -188,6 +199,7 @@ def create_splitted_dataset(
                 num_points=pc_num,
                 aug=aug,
                 model=model,
+                fixed_x_rotation=fixed_x_rotation,
             )
         )
     return subsets

@@ -85,6 +85,8 @@ def run_dg_training(args, cfg, num_points: int = 1024):
     test_datasets = [d for d in DATASET_LIST if d != args.source]
     logger.info(f"The datasets used for testing: {test_datasets}")
     model_name = cfg.get("Model", "Pointnet")
+    # None -> reference auto rule (-pi/2 on non-modelnet under DGCNN)
+    fixed_rot = cfg.get("DATASET", {}).get("FIXED_X_ROTATION", None)
 
     # ------------------------------------------------------------- data
     split_config = cfg["DATASET_SPLITTER"]
@@ -97,6 +99,7 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         subsets = create_splitted_dataset(
             dataset_type=args.source, status="train", logger=logger, config=sc,
             model=model_name, data_root=cfg.get("DATA_ROOT"),
+            fixed_x_rotation=fixed_rot,
         )
         src = subsets[sc["TRAIN_BASE"]]
         tgt = subsets[1 - sc["TRAIN_BASE"]]
@@ -110,13 +113,16 @@ def run_dg_training(args, cfg, num_points: int = 1024):
 
     eval_sets = {
         "source": create_single_dataset(
-            args.source, "test", model=model_name, data_root=cfg.get("DATA_ROOT")
+            args.source, "test", model=model_name, data_root=cfg.get("DATA_ROOT"),
+            fixed_x_rotation=fixed_rot,
         ),
         "test1": create_single_dataset(
-            test_datasets[0], "test", model=model_name, data_root=cfg.get("DATA_ROOT")
+            test_datasets[0], "test", model=model_name, data_root=cfg.get("DATA_ROOT"),
+            fixed_x_rotation=fixed_rot,
         ),
         "test2": create_single_dataset(
-            test_datasets[-1], "test", model=model_name, data_root=cfg.get("DATA_ROOT")
+            test_datasets[-1], "test", model=model_name, data_root=cfg.get("DATA_ROOT"),
+            fixed_x_rotation=fixed_rot,
         ),
     }
     dataset_remapping = {

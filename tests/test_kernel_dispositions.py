@@ -107,3 +107,25 @@ class TestCalibrateNeighbors:
         assert all(l >= 1 for l in limits)
         # every point is its own neighbor, so counts are at least 1
         assert all(s["mean_neighbors"] >= 1.0 for s in stats)
+
+
+class TestFixedRotationOverride:
+    def test_override_disables_quirk(self):
+        from sug_tpu.data.datasets import PointCloudDataset
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(4, 64, 3)).astype(np.float32)
+        labels = rng.integers(0, 10, 4)
+        auto = PointCloudDataset("scannet", pts, labels, num_points=64, model="DGCNN")
+        off = PointCloudDataset(
+            "scannet", pts, labels, num_points=64, model="DGCNN",
+            fixed_x_rotation=False,
+        )
+        on_nonquirk = PointCloudDataset(
+            "scannet", pts, labels, num_points=64, model="Pointnet",
+            fixed_x_rotation=True,
+        )
+        # auto rule rotates non-modelnet DGCNN data; False disables; True
+        # forces it even for other models
+        assert not np.allclose(auto.pts, off.pts)
+        np.testing.assert_allclose(on_nonquirk.pts, auto.pts, atol=1e-6)
