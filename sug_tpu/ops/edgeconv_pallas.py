@@ -45,6 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128  # query points per program (MXU-aligned)
 
+# Mosaic's fori_loop lowering supports only unroll=1 or full unroll. Full
+# unroll lets the compiler software-pipeline the gather matmuls against the
+# next step's argmax, but keeps all k iterations' buffers live: the FORWARD
+# fits (its per-iteration live set is small once the u hi/lo split is
+# hoisted), the BACKWARD's (N, TILE) one-hots x k blow the 16M VMEM stack —
+# so only the forward unrolls (SUG_EDGECONV_FWD_UNROLL=0 disables).
+import os as _os
+
+_FWD_UNROLL = _os.environ.get("SUG_EDGECONV_FWD_UNROLL", "1") == "1"
+
 
 def _split_bf16(a):
     """a == hi + lo with hi exactly bf16-representable."""
@@ -93,7 +103,8 @@ def _onehotT_dot(onehotT, b):
 
 
 def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
-                amax_ref, amin_ref, s1_ref, s2_ref, idx_ref, *, k: int):
+                amax_ref, amin_ref, s1_ref, s2_ref, idx_ref, *, k: int,
+                unroll: int = 1):
     """One (batch, tile) program.
 
     Blocks: x_tile (TILE, C), xb (N, C), u (N, F), v (TILE, F);
@@ -108,7 +119,7 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
     neg_d = 2.0 * _dot_acc(x_tile, xb.T) - jnp.sum(xb * xb, axis=1)[None, :]  # (TILE, N)
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
-    u = u_ref[:]  # (N, F)
+    u_hi, u_lo = _split_bf16(u_ref[:])  # hoisted: loop-invariant (N, F) split
     v = v_ref[:]  # (TILE, F)
 
     # fori_loop (not a python unroll): an unrolled k-loop keeps every
@@ -125,7 +136,11 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
         # lowest index among ties (lax.top_k / torch.topk tie order)
         j_sel = jnp.min(jnp.where(eligible, iota_n, N), axis=1, keepdims=True)
         onehot = (iota_n == j_sel).astype(jnp.float32)  # (TILE, N)
-        a = _onehot_dot(onehot, u) + v  # (TILE, F)
+        a = (
+            jnp.dot(onehot, u_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(onehot, u_lo, preferred_element_type=jnp.float32)
+            + v
+        )  # (TILE, F); exact gather (one-hot rows are exactly bf16)
         idx_acc = jnp.where(iota_k == j, jnp.broadcast_to(j_sel.T, (k, TILE)), idx_acc)
         return (
             jnp.where(onehot > 0, -jnp.inf, neg_d),
@@ -144,7 +159,7 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
         jnp.zeros_like(v),
         jnp.zeros((k, TILE), jnp.int32),
     )
-    _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(0, k, body, init)
+    _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(0, k, body, init, unroll=unroll)
 
     amax_ref[:] = amax
     amin_ref[:] = amin
@@ -162,13 +177,13 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
 
 def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
                 damax_ref, damin_ref, ds1_ref, ds2_ref,
-                du_ref, dv_ref, *, k: int):
+                du_ref, dv_ref, *, k: int, unroll: int = 1):
     """Mirror of the forward: da_k = damax*selmax + damin*selmin + ds1 +
     2*a_k*ds2; dU += onehot^T @ da_k (accumulated across the batch row's
     tiles — the dU output block revisits per-b), dV = sum_k da_k."""
     t = pl.program_id(1)
 
-    u = u_ref[:]  # (N, F)
+    u_hi, u_lo = _split_bf16(u_ref[:])  # hoisted loop-invariant split (N, F)
     v = v_ref[:]  # (TILE, F)
     amax = amax_ref[:]
     amin = amin_ref[:]
@@ -176,7 +191,7 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
     damin = damin_ref[:]
     ds1 = ds1_ref[:]
     ds2 = ds2_ref[:]
-    N = u.shape[0]
+    N = u_hi.shape[0]
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
 
@@ -197,7 +212,12 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
         # one-hot built directly in transposed (N, TILE) layout — no in-loop
         # transpose, both uses contract it via dot/dot_general on the MXU
         onehotT = (iota_nT == row).astype(jnp.float32)  # [n, t] = (idx_t == n)
-        a = _onehotT_dot(onehotT, u) + v  # (TILE, F)
+        dn = (((0,), (0,)), ((), ()))
+        a = (
+            jax.lax.dot_general(onehotT, u_hi, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(onehotT, u_lo, dn, preferred_element_type=jnp.float32)
+            + v
+        )  # (TILE, F)
         selmax = jnp.where(a == amax, 1.0, 0.0) * (1.0 - assigned_max)
         selmin = jnp.where(a == amin, 1.0, 0.0) * (1.0 - assigned_min)
         da = damax * selmax + damin * selmin + ds1 + 2.0 * a * ds2
@@ -218,9 +238,9 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
         jnp.zeros_like(v),
         jnp.zeros_like(v),
         jnp.zeros_like(v),
-        jnp.zeros_like(u),
+        jnp.zeros_like(u_hi),
     )
-    _, _, dv, du_acc = jax.lax.fori_loop(0, k, body, init)
+    _, _, dv, du_acc = jax.lax.fori_loop(0, k, body, init, unroll=unroll)
 
     du_ref[:] += du_acc
     dv_ref[:] = dv
@@ -253,7 +273,7 @@ def _fwd_pallas(x, u, v, k: int, interpret: bool = False):
     n_tiles = N // TILE
     grid = (B, n_tiles)
 
-    kernel = functools.partial(_fwd_kernel, k=k)
+    kernel = functools.partial(_fwd_kernel, k=k, unroll=k if _FWD_UNROLL else 1)
     out_shape = (
         jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # amax
         jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # amin
@@ -294,7 +314,7 @@ def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
     n_tiles = N // TILE
     grid = (B, n_tiles)
 
-    kernel = functools.partial(_bwd_kernel, k=k)
+    kernel = functools.partial(_bwd_kernel, k=k, unroll=1)
     tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
         (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
