@@ -27,9 +27,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def distributed_init(launcher: str = "none", coordinator: Optional[str] = None) -> int:
     """Initialize multi-process jax when launched under a cluster manager.
 
-    Returns this process's index. 'none' = single process.
+    Returns this process's index. 'none' = single process. With a non-none
+    launcher but no coordinator and no detectable cluster environment
+    (SLURM / TPU pod / explicit JAX coordinator vars), this degrades to a
+    single-process run instead of crashing — ``jax.distributed.initialize``
+    cannot auto-detect outside a managed environment, and the reference's
+    launchers read the same env markers (utils/common_utils.py:36-78).
     """
     if launcher == "none":
+        return 0
+    import os
+
+    cluster_markers = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID",
+        "CLOUD_TPU_TASK_ID",
+        "TPU_WORKER_HOSTNAMES",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    if coordinator is None and not any(m in os.environ for m in cluster_markers):
         return 0
     kwargs = {}
     if coordinator:
