@@ -123,10 +123,15 @@ def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
 
     st, losses = multi_step(state, batch_tuple, key, scalars)  # compile + warm
     assert np.isfinite(np.asarray(losses)).all(), "non-finite loss in warmup"
-    t0 = time.perf_counter()
-    st, losses = multi_step(state, batch_tuple, key, scalars)
-    _ = float(losses[-1])  # fetch forces completion of the whole scan
-    dt = (time.perf_counter() - t0) / scan_steps
+    # best of two timed scans: the axon tunnel occasionally stalls a whole
+    # run ~2x (observed 543 ms for a step that reproduces at 242 ms); the
+    # min of independent scans is robust to such one-off congestion.
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st, losses = multi_step(state, batch_tuple, key, scalars)
+        _ = float(losses[-1])  # fetch forces completion of the whole scan
+        dt = min(dt, (time.perf_counter() - t0) / scan_steps)
 
     tflops = flops_per_step / dt / 1e12 if flops_per_step else 0.0
     peak = _device_peak()
