@@ -91,7 +91,11 @@ class DGTrainer:
         donate: bool = False,
     ):
         self.cfg = cfg
-        self.model = NetMDA(model_name=model_name, num_class=num_class)
+        model_cfg = cfg.get("MODEL_CFG", None)
+        self.model = NetMDA(
+            model_name=model_name, num_class=num_class,
+            model_cfg=dict(model_cfg) if model_cfg else None,
+        )
         self.model_name = model_name
         self.num_class = num_class
         self.criterion = criterion or cross_entropy

@@ -40,7 +40,7 @@ register_generator("Pointnet2")(PointNet2Generator)
 register_generator("DGCNN")(DGCNNGenerator)
 
 
-def _make_generator(model_name: str) -> nn.Module:
+def _make_generator(model_name: str, model_cfg=None) -> nn.Module:
     # PTran / KPConv are registered lazily to keep import cost down
     if model_name == "PTran":
         from sug_tpu.models.ptran import PointTransformerGenerator
@@ -49,7 +49,7 @@ def _make_generator(model_name: str) -> nn.Module:
     if model_name == "KPConv":
         from sug_tpu.models.kpconv import KPConvGenerator
 
-        return KPConvGenerator(name="g")
+        return KPConvGenerator(cfg=model_cfg, name="g")
     if model_name not in GENERATOR_REGISTRY:
         raise NotImplementedError(f"Unsupported model name {model_name}")
     return GENERATOR_REGISTRY[model_name](name="g")
@@ -73,9 +73,12 @@ class NetMDA(nn.Module):
 
     model_name: str = "Pointnet"
     num_class: int = 10
+    # backbone-specific config overrides (YAML MODEL_CFG), e.g. KPConv's
+    # kp_method / kp_random_init / first_subsampling_dl
+    model_cfg: Optional[dict] = None
 
     def setup(self):
-        self.g = _make_generator(self.model_name)
+        self.g = _make_generator(self.model_name, self.model_cfg)
         dgcnn = self.model_name == "DGCNN"
         ptran = self.model_name == "PTran"
         if self.model_name == "KPConv":

@@ -129,3 +129,29 @@ class TestFixedRotationOverride:
         # forces it even for other models
         assert not np.allclose(auto.pts, off.pts)
         np.testing.assert_allclose(on_nonquirk.pts, auto.pts, atol=1e-6)
+
+
+class TestModelCfgThreading:
+    def test_kpconv_model_cfg_reaches_generator(self):
+        """MODEL_CFG flows DGTrainer -> NetMDA -> KPConvGenerator, where
+        KPConvEncoder merges it over KPCONV_DEFAULTS (kp_method /
+        kp_random_init / first_subsampling_dl become effective)."""
+        from sug_tpu.engine.dg_trainer import DGTrainer
+        from sug_tpu.models.net_mda import _make_generator
+        from sug_tpu.utils.config import ConfigDict
+        from tests._multihost_common import CFG
+
+        g = _make_generator("KPConv", {"kp_method": "gd", "kp_random_init": True})
+        assert g.cfg["kp_method"] == "gd" and g.cfg["kp_random_init"]
+
+        cfg = dict(CFG)
+        cfg["MODEL_CFG"] = {"kp_method": "gd", "kp_seed": 5}
+        tr = DGTrainer(ConfigDict(cfg), model_name="KPConv", augment=False)
+        assert tr.model.model_cfg == {"kp_method": "gd", "kp_seed": 5}
+
+        # and the disposition options actually change the kernel points
+        from sug_tpu.models.kernel_points import load_kernels
+
+        lloyd = load_kernels(1.0, 15, 3, "center")
+        gd = load_kernels(1.0, 15, 3, "center", method="gd")
+        assert not np.allclose(lloyd, gd)
