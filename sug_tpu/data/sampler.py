@@ -117,13 +117,17 @@ class ClassBalancedBatchIterator:
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        # class sampling is i.i.d., so ranks just use disjoint streams
+        # The per-epoch class subset is drawn from a rank-INDEPENDENT stream so
+        # every rank restricts to the same classes (single-process semantics:
+        # one global `chosen` per epoch); only the per-sample draws use the
+        # rank-specific stream.
+        shared_rng = np.random.default_rng((self.seed, self.epoch))
+        nonempty = [i for i, x in enumerate(self.classes) if len(x) > 0]
+        k = min(self.class_per_batch, len(nonempty))
+        chosen = shared_rng.choice(nonempty, size=k, replace=False)
         rng = np.random.default_rng(
             (self.seed, self.epoch, self.process_index)
         )
-        nonempty = [i for i, x in enumerate(self.classes) if len(x) > 0]
-        k = min(self.class_per_batch, len(nonempty))
-        chosen = rng.choice(nonempty, size=k, replace=False)
         for _ in range(self.n_batches):
             klass = rng.choice(chosen, size=self.batch_size)
             idx = np.array(

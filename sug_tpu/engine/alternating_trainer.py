@@ -63,6 +63,9 @@ class AlternatingTrainer:
         self.num_class = num_class
         self.mode = mode
         self.cfg = cfg or {}
+        from sug_tpu.models.precision import configure_from_cfg
+
+        configure_from_cfg(self.cfg)
         self.criterion = criterion or cross_entropy
         self.src_weight = src_weight
         self.augment = augment

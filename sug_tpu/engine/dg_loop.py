@@ -40,15 +40,37 @@ from sug_tpu.utils.profiling import trace
 def _make_train_iter(dataset, cfg, batch_size, seed):
     """batch_size is the PER-PROCESS batch; under multi-host each process
     iterates its rank's disjoint slice of the shared epoch permutation."""
+    class_balance = bool(
+        cfg.get("METHODS", {}).get("CLASS_BALANCE", False)
+        or cfg.get("CLASS_BALANCE", False)
+    )
+
+    # C++ batch assembly + prefetch thread (sug_tpu/native) — the default on
+    # this 1-core host whenever the library is built; SUG_NATIVE_LOADER=0
+    # opts out. Single-process only: the native iterator has no rank slicing
+    # (multi-host keeps the Python iterators' shared-permutation semantics).
+    if (
+        os.environ.get("SUG_NATIVE_LOADER", "1") != "0"
+        and jax.process_count() == 1
+    ):
+        from sug_tpu import native
+
+        if native.is_available():
+            nds = native.NativePointCloudDataset.from_arrays(
+                dataset.pts, dataset.labels
+            )
+            return native.NativeBatchIterator(
+                nds, batch_size, shuffle=True, class_balance=class_balance,
+                class_per_batch=10, seed=seed,
+            )
+
     kwargs = dict(
         batch_size=batch_size,
         seed=seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
-    if cfg.get("METHODS", {}).get("CLASS_BALANCE", False) or cfg.get(
-        "CLASS_BALANCE", False
-    ):
+    if class_balance:
         return ClassBalancedBatchIterator(dataset, class_per_batch=10, **kwargs)
     return BatchIterator(dataset, shuffle=True, **kwargs)
 
@@ -110,6 +132,10 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         )
         source_train_iters.append(_make_train_iter(src, cfg, local_batch, seed))
         target_train_iters.append(_make_train_iter(tgt, cfg, local_batch, seed + 1))
+    from sug_tpu.native import NativeBatchIterator as _NBI
+
+    if source_train_iters and isinstance(source_train_iters[0], _NBI):
+        logger.info("Using the native C++ data loader (SUG_NATIVE_LOADER=0 disables)")
 
     eval_sets = {
         "source": create_single_dataset(
@@ -129,6 +155,15 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         "source": args.source, "test1": test_datasets[0], "test2": test_datasets[1]
     }
     logger.info(f"batch_size: {batch_size}")
+
+    if model_name == "KPConv" and source_train_dataset is not None:
+        # startup neighbor-capacity calibration guard (the reference
+        # calibrates at model build, model/KPConv_model.py:848-880)
+        from sug_tpu.models.kpconv import check_neighbor_occupancy
+
+        check_neighbor_occupancy(
+            source_train_dataset.pts, cfg.get("MODEL_CFG", None), logger=logger
+        )
 
     # ------------------------------------------------------------ model
     opt_cfg = cfg["OPTIMIZATION"]

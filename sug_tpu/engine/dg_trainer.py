@@ -91,6 +91,11 @@ class DGTrainer:
         donate: bool = False,
     ):
         self.cfg = cfg
+        # PRECISION: bf16 switches backbone compute to bf16 (params, BN
+        # stats, neighbor selection, losses stay f32 — models/precision.py)
+        from sug_tpu.models.precision import configure_from_cfg
+
+        configure_from_cfg(cfg)
         model_cfg = cfg.get("MODEL_CFG", None)
         self.model = NetMDA(
             model_name=model_name, num_class=num_class,

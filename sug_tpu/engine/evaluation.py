@@ -28,9 +28,11 @@ class Evaluator:
         self, apply_fn: Callable, num_class: int = 10, criterion=None, sharding=None
     ):
         self.num_class = num_class
-        # criterion kept for API parity; the eval loss is computed as masked
-        # CE inside the step (the reference logs criterion loss but only
-        # accuracy feeds decisions, utils/eval_utils.py:63-74)
+        # The eval loss is the CONFIGURED criterion's loss (the reference logs
+        # criterion(pred, label) at utils/eval_utils.py:46 — focal loss when
+        # FocalLoss is configured, not plain CE). Pad masking is kept exact by
+        # evaluating the criterion per sample (vmap over singleton batches;
+        # every supported criterion is a mean of per-sample terms).
         self.criterion = criterion or cross_entropy
         # multi-host: eval batches are identical on every process; placing
         # them with a replicated sharding makes the eval step a global
@@ -43,9 +45,10 @@ class Evaluator:
         loader's batch size so every eval batch compiles to ONE program
         instead of one per tail size."""
         logits = apply_fn(params, batch_stats, data)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, label[:, None], axis=-1)[:, 0]
-        loss_sum = jnp.sum(nll * valid)
+        per_sample = jax.vmap(
+            lambda lg, lb: self.criterion(lg[None], lb[None])
+        )(logits, label)
+        loss_sum = jnp.sum(per_sample * valid)
         pred = jnp.argmax(logits, axis=-1)
         correct = (pred == label).astype(jnp.float32) * valid
         onehot = jax.nn.one_hot(label, self.num_class) * valid[:, None]

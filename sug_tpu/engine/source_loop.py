@@ -75,6 +75,15 @@ def run_source_training(args, cfg, num_points: int = 1024):
     )
 
     opt_cfg = cfg["OPTIMIZATION"]
+    from sug_tpu.models.precision import configure_from_cfg
+
+    configure_from_cfg(cfg)
+    if model_name == "KPConv":
+        from sug_tpu.models.kpconv import check_neighbor_occupancy
+
+        check_neighbor_occupancy(
+            train_dataset.pts, cfg.get("MODEL_CFG", None), logger=logger
+        )
     trainer = SourceTrainer(
         model_name=model_name,
         num_class=num_cls,

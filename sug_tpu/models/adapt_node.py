@@ -50,28 +50,55 @@ class SelfAdaptiveNodeModule(nn.Module):
         # -- initialize nodes via FPS (reference model/model_utils.py:105-107)
         fps_idx = farthest_point_sample(xyz, self.num_node, fps_start)
         fpoint_loc = index_points(xyz, fps_idx)  # (B, S, 3)
-        fpoint_fea = index_points(feats, fps_idx)  # (B, S, C)
         group_idx = query_ball_point(self.radius, self.nsample, xyz, fpoint_loc)
-        group_fea = index_points(feats, group_idx)  # (B, S, ns, C)
-        group_fea = group_fea - fpoint_fea[:, :, None, :]
 
         # -- learn node offsets (model/model_utils.py:112-117)
         # pred_offset: 1x1 conv + tanh, no bias; EXCLUDED from the generator
         # optimizer group (train_dg_single_gpu.py:191) — the param name
         # 'pred_offset' is the contract the optimizer masking keys on.
-        seman_trans = nn.tanh(
-            nn.Dense(3, use_bias=False, name="pred_offset")(group_fea)
-        )  # (B, S, ns, 3)
+        #
+        # Project-before-gather: with no bias the conv is linear, so
+        # ``(feats[idx] - feats[fps]) @ W == P[idx] - P[fps]`` with
+        # ``P = feats @ W`` computed ONCE per point. The (B, S, ns, C) feature
+        # gather (the largest fusion in the PointNet step trace, docs/PERF.md)
+        # becomes a 3-channel gather — ~20x less gather traffic, same math up
+        # to f32 reassociation.
+        proj = nn.Dense(3, use_bias=False, name="pred_offset")(feats)  # (B, N, 3)
+        p_node = index_points(proj, fps_idx)  # (B, S, 3)
+        p_group = index_points(proj, group_idx)  # (B, S, ns, 3)
+        seman_trans = nn.tanh(p_group - p_node[:, :, None, :])  # (B, S, ns, 3)
         group_loc = index_points(xyz, group_idx) - fpoint_loc[:, :, None, :]
         node_offset = jnp.mean(seman_trans * group_loc, axis=2)  # (B, S, 3)
 
         # -- re-query at offset nodes, max-pool node features
         # (model/model_utils.py:119-123; second query uses radius=None = kNN)
         node_loc = fpoint_loc + node_offset
-        group_idx2 = query_ball_point(None, self.nsample, xyz, node_loc)
         residual_fea = ConvBN(self.fc_dim, name="residual")(feats, train)
-        group_fea2 = index_points(residual_fea, group_idx2)  # (B, S, ns, fc)
-        node_fea = jnp.max(group_fea2, axis=2)  # (B, S, fc_dim)
+        import os
+
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SUG_FUSED_SANODE", "1") == "1"
+            and xyz.shape[1] % 128 == 0
+        )
+        if use_fused:
+            # one Pallas program: kNN of the offset nodes against the cloud +
+            # max over the k neighbors' residual features — replaces the
+            # (B, S, ns, fc) gather + its scatter-add backward (the largest
+            # fusions in the PointNet step trace, docs/PERF.md)
+            from sug_tpu.ops.edgeconv_pallas import fused_cross_edgeconv_reduce
+
+            zeros_v = jnp.zeros(
+                node_loc.shape[:2] + (self.fc_dim,), jnp.float32
+            )
+            node_fea, _, _, _, _ = fused_cross_edgeconv_reduce(
+                node_loc, xyz, residual_fea.astype(jnp.float32), zeros_v,
+                min(self.nsample, xyz.shape[1]),
+            )
+        else:
+            group_idx2 = query_ball_point(None, self.nsample, xyz, node_loc)
+            group_fea2 = index_points(residual_fea, group_idx2)  # (B, S, ns, fc)
+            node_fea = jnp.max(group_fea2, axis=2)  # (B, S, fc_dim)
 
         # -- 3-NN inverse-distance upsample + skip concat
         # (model/model_utils.py:126, model/point_utils.py:134-165)

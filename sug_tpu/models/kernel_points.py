@@ -113,7 +113,11 @@ def kernel_point_optimization_gd(
     for step in range(10000):
         diff = kp[:, :, None, :] - kp[:, None, :, :]
         d2 = np.sum(diff**2, axis=-1)
-        inter = np.sum(diff / (d2[..., None] ** 1.5 + 1e-6), axis=2)
+        # inter[p] = sum_q (kp[q]-kp[p]) / d^3: descent on `grads` pushes each
+        # point AWAY from the others (repulsion) while the 10x radial term pulls
+        # it inward (reference model/KPConv_kernels.py:340-345). Summing the
+        # antisymmetric diff over axis=1 realizes the (q-p) orientation.
+        inter = np.sum(diff / (d2[..., None] ** 1.5 + 1e-6), axis=1)
         grads = inter + 10.0 * kp
         if fixed == "verticals":
             grads[:, 1:3, :-1] = 0.0

@@ -63,6 +63,16 @@ KPCONV_DEFAULTS = dict(
     kp_method="lloyd",  # or "gd" (reference kernel_point_optimization_debug)
     kp_random_init=False,  # reference load-time rotation + 0.01 jitter
     kp_seed=0,
+    # pyramid construction: "fps" = the fixed-capacity FPS redesign (round-2
+    # default, dl=0.05/K=24 tuned constants below); "grid" = reference-like
+    # voxel-grid subsampling (MinkowskiEngine quantization + segment mean,
+    # model/KPConv_model.py:362-389) at grid_dl with fixed per-level voxel
+    # capacities and validity masks. Set MODEL_CFG.pyramid: grid to A/B the
+    # two structures on the same data.
+    pyramid="fps",
+    grid_dl=0.02,  # reference first_subsampling_dl (model/KPConv_model.py:26)
+    grid_capacities=(1024, 512, 256, 96, 48),
+    neighbor_limits=None,  # per-level override of NEIGHBOR_LIMITS
     architecture=(
         "simple",
         "resnetb",
@@ -81,6 +91,18 @@ KPCONV_DEFAULTS = dict(
     ),
 )
 
+def _normalize_cfg(model_cfg) -> dict:
+    """Merge-ready MODEL_CFG: YAML configs use UPPERCASE keys by convention
+    (e.g. ``--set MODEL_CFG.NEIGHBOR_LIMITS ...``, tools/calibrate_kpconv.py)
+    — map them case-insensitively onto the KPCONV_DEFAULTS keys."""
+    if not model_cfg:
+        return {}
+    out = {}
+    for k, v in dict(model_cfg).items():
+        out[k if k in KPCONV_DEFAULTS else k.lower()] = v
+    return out
+
+
 # fixed per-level capacities and neighbor counts for N=1024 inputs
 LEVEL_FRACTIONS = (1, 4, 16, 32, 64)  # N / frac per level
 # The reference caps neighborhoods at 50 (its grid levels are denser);
@@ -89,6 +111,71 @@ LEVEL_FRACTIONS = (1, 4, 16, 32, 64)  # N / frac per level
 # gather traffic ~40% vs K=40 (neighbor slots beyond the cap are masked
 # padding that still costs HBM bandwidth).
 NEIGHBOR_LIMITS = (24, 24, 24, 24, 16)
+
+
+def grid_subsample_fixed(
+    pc: jax.Array,
+    dl: float,
+    capacity: int,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-capacity voxel-grid subsampling with segment-mean centroids.
+
+    TPU-native equivalent of the reference's MinkowskiEngine sparse
+    quantization (model/KPConv_model.py:362-389): floor-quantize to voxels of
+    side ``dl``, average the points in each occupied voxel, return up to
+    ``capacity`` centroids (static shape). When more voxels are occupied than
+    ``capacity``, a stratified pick over the lexicographic voxel order keeps
+    spatial coverage; invalid slots are pushed to distinct far-away sentinels
+    so they never fall inside any downstream radius.
+
+    Args:
+        pc: (B, N, 3); coordinates must lie in (-4, 4) (normalized clouds).
+        valid: optional (B, N) float/bool mask of real input rows.
+    Returns:
+        (B, capacity, 3) centroids, (B, capacity) float validity mask.
+    """
+    B, N, _ = pc.shape
+    R = 4.0
+    K = int(2 * R / dl) + 2
+    v = jnp.floor(pc / dl).astype(jnp.int32) + int(R / dl)
+    v = jnp.clip(v, 0, K - 1)
+    key = (v[..., 0] * K + v[..., 1]) * K + v[..., 2]  # (B, N)
+    pad_key = K * K * K
+    if valid is not None:
+        key = jnp.where(valid > 0, key, pad_key)
+
+    order = jnp.argsort(key, axis=1)
+    skey = jnp.take_along_axis(key, order, axis=1)
+    spc = jnp.take_along_axis(pc, order[..., None], axis=1)
+    is_real = skey < pad_key
+    is_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1
+    ) & is_real
+    seg = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (B, N)
+    seg = jnp.maximum(seg, 0)
+    w = is_real.astype(pc.dtype)
+
+    sums = jax.vmap(
+        lambda s, p, ww: jax.ops.segment_sum(p * ww[:, None], s, num_segments=N)
+    )(seg, spc, w)
+    cnts = jax.vmap(
+        lambda s, ww: jax.ops.segment_sum(ww, s, num_segments=N)
+    )(seg, w)
+    centroids = sums / jnp.maximum(cnts, 1.0)[..., None]  # (B, N, 3) voxel rank order
+    n_vox = jnp.sum(is_first.astype(jnp.int32), axis=1)  # (B,)
+
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    strat = (i[None, :] * n_vox[:, None]) // jnp.maximum(capacity, 1)
+    head = jnp.minimum(i[None, :], jnp.maximum(n_vox[:, None] - 1, 0))
+    take = jnp.where(n_vox[:, None] > capacity, strat, head)
+    out = jnp.take_along_axis(centroids, take[..., None], axis=1)
+    out_valid = (i[None, :] < n_vox[:, None]).astype(pc.dtype)
+    sentinel = 1e6 + 10.0 * i.astype(pc.dtype)
+    out = jnp.where(
+        out_valid[..., None] > 0, out, sentinel[None, :, None]
+    )
+    return out, out_valid
 
 
 def radius_neighbors_masked(
@@ -135,15 +222,25 @@ class KPConvOp(nn.Module):
     kp_seed: int = 0
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighb_idx, neighb_mask, x):
+    def __call__(self, q_pts, s_pts, neighb_idx, neighb_mask, x, q_mask=None):
         K = self.num_kpoints
         in_ch = x.shape[-1]
+        # The reference calls load_kernels per layer with fresh global-RNG
+        # draws, so every KPConv layer gets an INDEPENDENT rotation + jitter
+        # (model/KPConv_kernels.py:417+). Fold the flax module path into the
+        # seed so layers differ while the whole model stays deterministic.
+        seed = self.kp_seed
+        if self.kp_random_init:
+            import zlib
+
+            path = "/".join(self.scope.path) if self.scope is not None else (self.name or "")
+            seed = (int(seed) + zlib.crc32(path.encode())) % (2**31)
         kp = jnp.asarray(
             load_kernels(
                 self.radius, K, 3, self.fixed,
                 method=self.kp_method,
                 random_init=self.kp_random_init,
-                seed=self.kp_seed,
+                seed=seed,
             )
         )  # (K, 3)
 
@@ -199,15 +296,29 @@ class KPConvOp(nn.Module):
                 neighb_mask[..., None] > 0, sq_d, jnp.full_like(sq_d, 1e12)
             )
             min_d2 = jnp.min(masked_sq, axis=2)  # (B, Q, K)
+            if q_mask is not None:
+                # grid-pyramid pad queries: exclude their (garbage, huge)
+                # distances from the fitting/repulsion regularizers
+                min_d2 = min_d2 * q_mask[..., None]
+                deformed_kp_reg = deformed_kp * q_mask[..., None, None]
+            else:
+                deformed_kp_reg = deformed_kp
             self.sow("regularizers", "min_d2_over_ext2",
                      min_d2 / (self.kp_extent**2))
             self.sow("regularizers", "deformed_kp_over_ext",
-                     deformed_kp / self.kp_extent)
+                     deformed_kp_reg / self.kp_extent)
 
         if self.influence == "constant":
             all_weights = jnp.ones_like(sq_d)
         elif self.influence == "linear":
-            all_weights = jnp.maximum(1.0 - jnp.sqrt(sq_d) / self.kp_extent, 0.0)
+            # sqrt clamped away from 0: a self-neighbor offset against the
+            # center kernel point gives sq_d == 0 exactly, and sqrt's grad at
+            # 0 is inf — with a starved (single-neighbor) ball that inf is
+            # not diluted and NaNs the weight gradients. 1e-12 shifts the
+            # distance by <=1e-6, invisible at kp_extent scale.
+            all_weights = jnp.maximum(
+                1.0 - jnp.sqrt(jnp.maximum(sq_d, 1e-12)) / self.kp_extent, 0.0
+            )
         elif self.influence == "gaussian":
             sigma = self.kp_extent * 0.3
             all_weights = jnp.exp(-sq_d / (2.0 * sigma**2))
@@ -252,15 +363,25 @@ class KPConvOp(nn.Module):
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over the level axis — the
     batched equivalent of the reference's per-cloud InstanceNorm1d
-    (model/KPConv_blocks.py:507-563, affine-free like torch's default)."""
+    (model/KPConv_blocks.py:507-563, affine-free like torch's default).
+
+    ``mask`` (B, N): grid-pyramid validity — statistics run over valid rows
+    only (the reference normalizes each variable-length cloud exactly; pad
+    rows are zeroed on output so nothing leaks downstream)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.var(x, axis=1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        if mask is None:
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        m = mask[..., None]
+        n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(x * m, axis=1, keepdims=True) / n
+        var = jnp.sum((x - mean) ** 2 * m, axis=1, keepdims=True) / n
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * m
 
 
 class UnaryBlock(nn.Module):
@@ -271,9 +392,9 @@ class UnaryBlock(nn.Module):
     no_relu: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
         x = nn.Dense(self.out_dim, use_bias=False)(x)
-        x = InstanceNorm()(x)
+        x = InstanceNorm()(x, mask)
         if not self.no_relu:
             x = nn.leaky_relu(x, 0.1)
         return x
@@ -289,7 +410,7 @@ class SimpleBlock(nn.Module):
     deformable: bool = False
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, idx, mask, x):
+    def __call__(self, q_pts, s_pts, idx, mask, x, q_mask=None):
         x = KPConvOp(
             self.out_dim // 2, self.kp_extent, self.radius,
             self.cfg["num_kernel_points"], self.cfg["KP_influence"],
@@ -299,8 +420,8 @@ class SimpleBlock(nn.Module):
             kp_random_init=self.cfg.get("kp_random_init", False),
             kp_seed=self.cfg.get("kp_seed", 0),
             name="KPConv",
-        )(q_pts, s_pts, idx, mask, x)
-        return nn.leaky_relu(InstanceNorm()(x), 0.1)
+        )(q_pts, s_pts, idx, mask, x, q_mask)
+        return nn.leaky_relu(InstanceNorm()(x, q_mask), 0.1)
 
 
 class ResnetBottleneckBlock(nn.Module):
@@ -316,9 +437,9 @@ class ResnetBottleneckBlock(nn.Module):
     deformable: bool = False
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, idx, mask, x):
+    def __call__(self, q_pts, s_pts, idx, mask, x, s_mask=None, q_mask=None):
         in_dim = x.shape[-1]
-        h = UnaryBlock(self.out_dim // 4, name="unary1")(x) if in_dim != self.out_dim // 4 else x
+        h = UnaryBlock(self.out_dim // 4, name="unary1")(x, s_mask) if in_dim != self.out_dim // 4 else x
         h = KPConvOp(
             self.out_dim // 4, self.kp_extent, self.radius,
             self.cfg["num_kernel_points"], self.cfg["KP_influence"],
@@ -328,9 +449,9 @@ class ResnetBottleneckBlock(nn.Module):
             kp_random_init=self.cfg.get("kp_random_init", False),
             kp_seed=self.cfg.get("kp_seed", 0),
             name="KPConv",
-        )(q_pts, s_pts, idx, mask, h)
-        h = nn.leaky_relu(InstanceNorm()(h), 0.1)
-        h = UnaryBlock(self.out_dim, no_relu=True, name="unary2")(h)
+        )(q_pts, s_pts, idx, mask, h, q_mask)
+        h = nn.leaky_relu(InstanceNorm()(h, q_mask), 0.1)
+        h = UnaryBlock(self.out_dim, no_relu=True, name="unary2")(h, q_mask)
 
         if self.strided:
             # max-pool features over the stride neighborhood; padded slots
@@ -341,7 +462,7 @@ class ResnetBottleneckBlock(nn.Module):
             shortcut = x
         if shortcut.shape[-1] != self.out_dim:
             shortcut = UnaryBlock(self.out_dim, no_relu=True, name="unary_shortcut")(
-                shortcut
+                shortcut, q_mask
             )
         return nn.leaky_relu(h + shortcut, 0.1)
 
@@ -349,32 +470,101 @@ class ResnetBottleneckBlock(nn.Module):
 def build_pyramid(pc: jax.Array, cfg: dict, fps_start: Optional[jax.Array] = None):
     """Fixed-capacity point pyramid + per-level neighbor/pool indices.
 
-    Replaces PreprocessorGPU (model/KPConv_model.py:563-683).
+    Replaces PreprocessorGPU (model/KPConv_model.py:563-683). Two modes:
+
+    - ``pyramid: fps`` (default): FPS to N/LEVEL_FRACTIONS points per level —
+      every level row is valid ('valid' is None).
+    - ``pyramid: grid``: voxel-grid subsample of the previous level at
+      ``grid_dl * 2**lvl`` (the reference's grid structure) with fixed
+      capacities; 'valid' holds per-level (B, N_l) masks. Invalid slots sit
+      at far sentinels, so radius queries exclude them automatically.
+
     Returns dict with 'points' (list of (B,N_l,3)), 'neighbors'/'pools'
-    (idx, mask) tuples per level.
+    (idx, mask) tuples per level, 'valid' (list of masks or None).
     """
     N = pc.shape[1]
     num_layers = cfg["num_layers"]
-    r0 = cfg["first_subsampling_dl"] * cfg["conv_radius"]
+    grid_mode = cfg.get("pyramid", "fps") == "grid"
+    dl = cfg["grid_dl"] if grid_mode else cfg["first_subsampling_dl"]
+    r0 = dl * cfg["conv_radius"]
 
     points = [pc]
-    for lvl in range(1, num_layers):
-        n_l = max(N // LEVEL_FRACTIONS[lvl], 4)
-        fps_idx = farthest_point_sample(
-            points[-1], n_l, fps_start if lvl == 1 else None
-        )
-        points.append(index_points(points[-1], fps_idx))
+    valids = None
+    if grid_mode:
+        caps = cfg["grid_capacities"]
+        valids = [jnp.ones(pc.shape[:2], pc.dtype)]
+        for lvl in range(1, num_layers):
+            cap = min(int(caps[lvl]), points[-1].shape[1])
+            p, v = grid_subsample_fixed(
+                points[-1], dl * (2 ** lvl), cap, valid=valids[-1]
+            )
+            points.append(p)
+            valids.append(v)
+    else:
+        for lvl in range(1, num_layers):
+            n_l = max(N // LEVEL_FRACTIONS[lvl], 4)
+            fps_idx = farthest_point_sample(
+                points[-1], n_l, fps_start if lvl == 1 else None
+            )
+            points.append(index_points(points[-1], fps_idx))
 
+    limits = cfg.get("neighbor_limits") or NEIGHBOR_LIMITS
     neighbors, pools = [], []
     for lvl in range(num_layers):
         r = r0 * (2**lvl)
-        k = min(NEIGHBOR_LIMITS[lvl], points[lvl].shape[1])
+        k = min(int(limits[lvl]), points[lvl].shape[1])
         neighbors.append(radius_neighbors_masked(r, k, points[lvl], points[lvl]))
         if lvl + 1 < num_layers:
             pools.append(
                 radius_neighbors_masked(r, k, points[lvl], points[lvl + 1])
             )
-    return {"points": points, "neighbors": neighbors, "pools": pools}
+    return {"points": points, "neighbors": neighbors, "pools": pools, "valid": valids}
+
+
+def check_neighbor_occupancy(sample_pts, model_cfg=None, logger=None, batch=8):
+    """Startup calibration guard — the reference calibrates neighbor capacity
+    at model build (calibrate_neighbors, model/KPConv_model.py:848-880); the
+    fixed-capacity pyramid made that a tool (tools/calibrate_kpconv.py), and
+    this check runs a cheap version of it automatically at trainer init.
+
+    Probes the configured pyramid on a sample of REAL training clouds and
+    returns per-level mean valid-neighbor counts; logs a warning when any
+    level is starved (mean < 4 in-radius neighbors: the convolutions see
+    almost no support and the InstanceNorm chain degenerates — raise
+    first_subsampling_dl / grid_dl) or saturated (mean at the K cap:
+    neighborhoods are being truncated — raise NEIGHBOR_LIMITS).
+    """
+    import numpy as np
+
+    cfg = dict(KPCONV_DEFAULTS, **_normalize_cfg(model_cfg))
+    pc = jnp.asarray(np.asarray(sample_pts[:batch], dtype=np.float32))
+    pyr = jax.jit(lambda p: build_pyramid(p, cfg))(pc)
+    limits = cfg.get("neighbor_limits") or NEIGHBOR_LIMITS
+    means = []
+    for lvl, (_, mask) in enumerate(pyr["neighbors"]):
+        counts = np.asarray(jnp.sum(mask, axis=-1))  # (B, N_l)
+        if pyr["valid"] is not None:
+            v = np.asarray(pyr["valid"][lvl]) > 0
+            counts = counts[v] if v.any() else counts
+        means.append(float(counts.mean()))
+    msg = ", ".join(f"L{i}={m:.1f}" for i, m in enumerate(means))
+    emit = logger.info if logger is not None else print
+    emit(f"KPConv pyramid occupancy (mean valid neighbors/level): {msg}")
+    for lvl, m in enumerate(means):
+        k = min(int(limits[lvl]), pyr["points"][lvl].shape[1])
+        if m < 4.0 and logger is not None:
+            logger.warning(
+                f"KPConv level {lvl} is STARVED (mean {m:.1f} neighbors < 4): "
+                "convolutions see almost no support — raise "
+                "MODEL_CFG.first_subsampling_dl (fps) / MODEL_CFG.grid_dl "
+                "(grid) or recalibrate with tools/calibrate_kpconv.py"
+            )
+        elif m > 0.95 * k and logger is not None:
+            logger.warning(
+                f"KPConv level {lvl} SATURATES its K={k} cap (mean {m:.1f}): "
+                "neighborhoods are truncated — raise MODEL_CFG.NEIGHBOR_LIMITS"
+            )
+    return means
 
 
 class KPConvEncoder(nn.Module):
@@ -385,7 +575,7 @@ class KPConvEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, pc, train: bool, fps_start=None):
-        cfg = dict(KPCONV_DEFAULTS, **(self.cfg or {}))
+        cfg = dict(KPCONV_DEFAULTS, **_normalize_cfg(self.cfg))
         pyr = build_pyramid(pc, cfg, fps_start)
 
         r = cfg["first_subsampling_dl"] * cfg["conv_radius"]
@@ -396,28 +586,33 @@ class KPConvEncoder(nn.Module):
         x = jnp.ones(pc.shape[:2] + (in_dim,), dtype=pc.dtype)  # ones features
         lvl = 0
         node_tap = None
+        node_tap_mask = None
+        valids = pyr.get("valid")
+        vmask = lambda l: None if valids is None else valids[l]  # noqa: E731
         for block_i, block in enumerate(cfg["architecture"]):
             strided = "strided" in block
             deform = "deform" in block
             if strided:
                 q_pts = pyr["points"][lvl + 1]
                 idx, mask = pyr["pools"][lvl]
+                q_mask = vmask(lvl + 1)
             else:
                 q_pts = pyr["points"][lvl]
                 idx, mask = pyr["neighbors"][lvl]
+                q_mask = vmask(lvl)
             s_pts = pyr["points"][lvl]
 
             if block.startswith("simple"):
                 x = SimpleBlock(
                     out_dim, r, r * ext_ratio, cfg, deformable=deform,
                     name=f"block{block_i}",
-                )(q_pts, s_pts, idx, mask, x)
+                )(q_pts, s_pts, idx, mask, x, q_mask)
                 in_dim = out_dim // 2
             elif block.startswith("resnetb"):
                 x = ResnetBottleneckBlock(
                     out_dim, r, r * ext_ratio, cfg, strided=strided,
                     deformable=deform, name=f"block{block_i}",
-                )(q_pts, s_pts, idx, mask, x)
+                )(q_pts, s_pts, idx, mask, x, s_mask=vmask(lvl), q_mask=q_mask)
                 in_dim = out_dim
             else:
                 raise ValueError(f"Unknown block {block}")
@@ -426,12 +621,13 @@ class KPConvEncoder(nn.Module):
                 # the mid-feature tap feeding the DG node features
                 # (KPFEncoder.forward, model/KPConv_model.py:196-202)
                 node_tap = jax.lax.stop_gradient(x)
+                node_tap_mask = q_mask
 
             if strided:
                 lvl += 1
                 r *= 2.0
                 out_dim *= 2
-        return x, node_tap
+        return x, node_tap, vmask(lvl), node_tap_mask
 
 
 def p2p_fitting_regularizer(sown: dict, deform_fitting_power: float = 1.0,
@@ -463,6 +659,35 @@ def p2p_fitting_regularizer(sown: dict, deform_fitting_power: float = 1.0,
     return deform_fitting_power * (2.0 * fitting + repulsive)
 
 
+def _masked_mean(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Global average over valid level rows (reference global_average,
+    model/KPConv_model.py:111-131 — averages each variable-length cloud)."""
+    if mask is None:
+        return jnp.mean(x, axis=1)
+    m = mask[..., None]
+    return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+def _sample_tensor_slices(
+    tap: jax.Array, mask: Optional[jax.Array], n_out: int
+) -> jax.Array:
+    """Strided sample of ``n_out`` rows per cloud from the tap level —
+    reference sample_tensor_slices (model/KPConv_blocks.py:159-177) strides
+    over each cloud's VALID rows. With a grid-pyramid mask the stride is
+    computed from the per-cloud valid count (valid rows sort first, so row
+    indices < count are valid); duplicates fill when count < n_out."""
+    n1 = tap.shape[1]
+    if mask is None:
+        step = max(n1 // n_out, 1)
+        return tap[:, ::step][:, :n_out]
+    cnt = jnp.sum(mask.astype(jnp.int32), axis=1)  # (B,)
+    i = jnp.arange(n_out, dtype=jnp.int32)
+    strided = (i[None, :] * cnt[:, None]) // n_out
+    head = jnp.minimum(i[None, :], jnp.maximum(cnt[:, None] - 1, 0))
+    take = jnp.where(cnt[:, None] >= n_out, strided, head)
+    return jnp.take_along_axis(tap, take[..., None], axis=1)
+
+
 class KPConvGenerator(nn.Module):
     """DG generator (KPConv_g, model/Model.py:349-386): encoder -> global
     average (B,1024); node features = strided sample of the block-2 tap to
@@ -472,11 +697,11 @@ class KPConvGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, pc, train: bool, fps_start=None):
-        feats, node_tap = KPConvEncoder(self.cfg, name="encoder")(pc, train, fps_start)
-        global_feat = jnp.mean(feats, axis=1)  # (B, 1024)
-        n1 = node_tap.shape[1]
-        step = max(n1 // 64, 1)
-        node_fea = node_tap[:, ::step][:, :64]  # (B, 64, 64)
+        feats, node_tap, final_mask, tap_mask = KPConvEncoder(
+            self.cfg, name="encoder"
+        )(pc, train, fps_start)
+        global_feat = _masked_mean(feats, final_mask)  # (B, 1024)
+        node_fea = _sample_tensor_slices(node_tap, tap_mask, 64)  # (B, 64, 64)
         return global_feat, node_fea, None
 
 
@@ -490,8 +715,8 @@ class KPConvClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, pc, train: bool):
-        feats, _ = KPConvEncoder(self.cfg, name="encoder")(pc, train)
-        x = jnp.mean(feats, axis=1)
+        feats, _, final_mask, _ = KPConvEncoder(self.cfg, name="encoder")(pc, train)
+        x = _masked_mean(feats, final_mask)
         x = nn.Dense(256, name="fc1")(x)
         mid_feature = x
         x = nn.relu(x)

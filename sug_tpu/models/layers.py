@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sug_tpu.models.precision import compute_dtype
+
 
 def activation(x: jax.Array, name: str, negative_slope: float = 0.01) -> jax.Array:
     if name == "relu":
@@ -41,8 +43,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        dt = compute_dtype()
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=dt)(x)
+        # flax BatchNorm computes batch statistics in f32 regardless of dtype
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
+        )(x)
         return activation(x, self.act, self.negative_slope)
 
 
@@ -60,9 +66,10 @@ class FCLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        dt = compute_dtype()
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=dt)(x)
         if self.use_norm:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=dt)(x)
         return activation(x, self.act, negative_slope=0.2)
 
 
@@ -130,11 +137,14 @@ class CALayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         d = x.shape[-1]
-        y = nn.Dense(d // self.reduction, use_bias=True)(x)
+        dt = compute_dtype()
+        y = nn.Dense(d // self.reduction, use_bias=True, dtype=dt)(x)
         y = nn.relu(y)
-        y = nn.Dense(d, use_bias=True)(y)
-        y = nn.sigmoid(y)
+        y = nn.Dense(d, use_bias=True, dtype=dt)(y)
+        y = nn.sigmoid(y.astype(jnp.float32))  # gate in f32
         out = x * y + x
+        # BN left at default dtype: f32 params promote the output back to f32
+        # — the attended node features feed the MMD Grams, which stay f32.
         return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(
             out
         )

@@ -39,25 +39,44 @@ class VectorAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jax.Array, features: jax.Array) -> jax.Array:
+        from sug_tpu.models.precision import compute_dtype
+
+        # neighbor selection on raw f32 xyz — unaffected by the bf16 policy
         knn_idx = knn_indices(xyz, min(self.k, xyz.shape[1]))  # (B, N, k)
         knn_xyz = index_points(xyz, knn_idx)  # (B, N, k, 3)
 
+        dt = compute_dtype()
         pre = features
-        x = nn.Dense(self.d_model, name="fc1")(features)
-        q = nn.Dense(self.d_model, use_bias=False, name="w_qs")(x)
-        k = index_points(nn.Dense(self.d_model, use_bias=False, name="w_ks")(x), knn_idx)
-        v = index_points(nn.Dense(self.d_model, use_bias=False, name="w_vs")(x), knn_idx)
+        x = nn.Dense(self.d_model, name="fc1", dtype=dt)(features)
+        q = nn.Dense(self.d_model, use_bias=False, name="w_qs", dtype=dt)(x)
+        k = index_points(
+            nn.Dense(self.d_model, use_bias=False, name="w_ks", dtype=dt)(x), knn_idx
+        )
+        v = index_points(
+            nn.Dense(self.d_model, use_bias=False, name="w_vs", dtype=dt)(x), knn_idx
+        )
 
         delta = xyz[:, :, None, :] - knn_xyz  # (B, N, k, 3)
-        pos = nn.Dense(self.d_model, name="fc_delta1")(delta)
-        pos = nn.Dense(self.d_model, name="fc_delta2")(nn.relu(pos))
+        if dt is not None:
+            delta = delta.astype(dt)
+        # the two per-edge (B, N, k, d_model) MLP chains below are where
+        # PTran's FLOPs live (~2/3 of the step at N=1024) — exactly what the
+        # bf16 MXU path accelerates
+        pos = nn.Dense(self.d_model, name="fc_delta1", dtype=dt)(delta)
+        pos = nn.Dense(self.d_model, name="fc_delta2", dtype=dt)(nn.relu(pos))
 
         attn = q[:, :, None, :] - k + pos
-        attn = nn.Dense(self.d_model, name="fc_gamma1")(attn)
-        attn = nn.Dense(self.d_model, name="fc_gamma2")(nn.relu(attn))
-        attn = jax.nn.softmax(attn / jnp.sqrt(float(self.d_model)), axis=-2)
+        attn = nn.Dense(self.d_model, name="fc_gamma1", dtype=dt)(attn)
+        attn = nn.Dense(self.d_model, name="fc_gamma2", dtype=dt)(nn.relu(attn))
+        # softmax in f32: bf16's 8-bit mantissa visibly skews the per-channel
+        # neighbor weighting
+        attn = jax.nn.softmax(
+            attn.astype(jnp.float32) / jnp.sqrt(float(self.d_model)), axis=-2
+        )
 
-        res = jnp.einsum("bnkf,bnkf->bnf", attn, v + pos)
+        res = jnp.einsum(
+            "bnkf,bnkf->bnf", attn, (v + pos).astype(jnp.float32)
+        )
         return nn.Dense(self.d_points, name="fc2")(res) + pre
 
 

@@ -45,6 +45,10 @@ def _load():
     lib.sug_dataset_load.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
     ]
+    lib.sug_dataset_from_arrays.restype = ctypes.c_void_p
+    lib.sug_dataset_from_arrays.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+    ]
     lib.sug_dataset_size.restype = ctypes.c_int64
     lib.sug_dataset_size.argtypes = [ctypes.c_void_p]
     lib.sug_dataset_num_points.restype = ctypes.c_int
@@ -94,6 +98,29 @@ class NativePointCloudDataset:
         if not self._h:
             raise RuntimeError(f"failed to load {pts_path} / {label_path}")
         self.num_points = num_points
+
+    @classmethod
+    def from_arrays(cls, pts: np.ndarray, labels: np.ndarray):
+        """Adopt preprocessed (M, num_points, 3) f32 / (M,) i32 arrays — the
+        native route for train-time splitter subsets, which exist only in
+        memory (sug_tpu.data.splitter materializes points, not file paths)."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native loader unavailable (build with `make native`)")
+        pts = np.ascontiguousarray(pts, dtype=np.float32)
+        labels = np.ascontiguousarray(labels, dtype=np.int32)
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._h = lib.sug_dataset_from_arrays(
+            pts.ctypes.data_as(ctypes.c_void_p),
+            labels.ctypes.data_as(ctypes.c_void_p),
+            pts.shape[0],
+            pts.shape[1],
+        )
+        if not self._h:
+            raise RuntimeError("sug_dataset_from_arrays failed")
+        self.num_points = int(pts.shape[1])
+        return self
 
     def __len__(self) -> int:
         return int(self._lib.sug_dataset_size(self._h))
@@ -146,6 +173,13 @@ class NativeBatchIterator:
 
     def __len__(self) -> int:
         return int(self._lib.sug_iter_num_batches(self._h))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Rebuild the epoch order; safe mid-epoch (the DG loop zips paired
+        iterators and abandons the longer one — the C side quiesces its
+        prefetch thread before rebuilding)."""
+        self._epoch = int(epoch)
+        self._lib.sug_iter_reset(self._h, self._epoch)
 
     def __iter__(self):
         np_pts = np.empty(

@@ -246,6 +246,25 @@ void sug_dataset_get_all(void* h, float* out_pts, int32_t* out_labels) {
 
 void sug_dataset_destroy(void* h) { delete static_cast<Dataset*>(h); }
 
+// Adopt arrays already preprocessed on the Python side (normalize/rotate/fit
+// done by PointCloudDataset.__init__) — lets split subsets from the train-time
+// splitter (which have no on-disk npy of their own) use the native batch
+// assembly + prefetch thread.
+void* sug_dataset_from_arrays(const float* pts, const int32_t* labels,
+                              int64_t M, int num_points) {
+  auto* ds = new Dataset();
+  ds->num_clouds = M;
+  ds->num_points = num_points;
+  ds->pts.assign(pts, pts + (size_t)M * num_points * 3);
+  ds->labels.assign(labels, labels + M);
+  ds->class_indices.resize(10);
+  for (int64_t m = 0; m < M; m++) {
+    int32_t lbl = ds->labels[m];
+    if (lbl >= 0 && lbl < 10) ds->class_indices[lbl].push_back((int32_t)m);
+  }
+  return ds;
+}
+
 // ---------------------------------------------------------------------------
 // prefetching batch iterator
 // ---------------------------------------------------------------------------
@@ -374,13 +393,26 @@ int sug_iter_next(void* h, float* out_pts, int32_t* out_labels) {
 }
 
 void sug_iter_reset(void* h, int epoch) {
+  // Safe at ANY time, including mid-epoch (the DG loop zips two iterators and
+  // abandons the longer one early): the worker may be inside assemble() and
+  // reads `order` without the mutex, so quiesce it via stop+join before
+  // rebuilding, then restart. One thread spawn per epoch is negligible.
   auto* it = static_cast<Iter*>(h);
-  std::unique_lock<std::mutex> lk(it->mu);
+  it->stop.store(true);
+  {
+    std::lock_guard<std::mutex> lk(it->mu);
+    it->epoch_done = false;
+    it->buf_full = false;
+  }
+  it->cv_empty.notify_all();
+  it->cv_full.notify_all();
+  if (it->worker.joinable()) it->worker.join();
+  it->stop.store(false);
   it->build_order(epoch);
   it->cursor.store(0);
   it->buf_full = false;
   it->epoch_done = false;
-  it->cv_empty.notify_all();
+  it->worker = std::thread([it] { it->run(); });
 }
 
 void sug_iter_destroy(void* h) {

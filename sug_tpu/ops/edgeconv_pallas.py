@@ -159,7 +159,24 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
         jnp.zeros_like(v),
         jnp.zeros((k, TILE), jnp.int32),
     )
-    _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(0, k, body, init, unroll=unroll)
+    if unroll >= k:
+        # full unroll (EdgeConv k=20): best software pipelining, live set fits
+        _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(
+            0, k, body, init, unroll=k
+        )
+    elif unroll > 1 and k % unroll == 0:
+        # chunked unroll for large k (SA-node k=64): Mosaic's fori supports
+        # only unroll=1/full, so python-unroll a window inside the fori body
+        def chunk_body(c, carry):
+            for i in range(unroll):
+                carry = body(c * unroll + i, carry)
+            return carry
+
+        _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(
+            0, k // unroll, chunk_body, init
+        )
+    else:
+        _, amax, amin, s1, s2, idx_acc = jax.lax.fori_loop(0, k, body, init)
 
     amax_ref[:] = amax
     amin_ref[:] = amin
@@ -240,7 +257,22 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
         jnp.zeros_like(v),
         jnp.zeros_like(u_hi),
     )
-    _, _, dv, du_acc = jax.lax.fori_loop(0, k, body, init, unroll=unroll)
+    # Chunked unroll: Mosaic's fori_loop supports only unroll=1/full, and a
+    # full unroll keeps all k one-hot (N, TILE) buffers live on the VMEM
+    # stack (OOM at F=256). Python-unrolling `unroll` iterations INSIDE the
+    # fori body keeps only that window live (~0.5MB per one-hot) while giving
+    # the scheduler independent gather matmuls to software-pipeline — the
+    # select chain (first-hit max/min assignment) is VPU work off the MXU
+    # critical path.
+    if unroll > 1 and k % unroll == 0:
+        def chunk_body(c, carry):
+            for i in range(unroll):
+                carry = body(c * unroll + i, carry)
+            return carry
+
+        _, _, dv, du_acc = jax.lax.fori_loop(0, k // unroll, chunk_body, init)
+    else:
+        _, _, dv, du_acc = jax.lax.fori_loop(0, k, body, init)
 
     du_ref[:] += du_acc
     dv_ref[:] = dv
@@ -262,24 +294,38 @@ def _pad_lanes(a, to: int = 128):
     return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
 
 
-def _fwd_pallas(x, u, v, k: int, interpret: bool = False):
-    """Returns (amax, amin, s1, s2) in (B, N, F) and idx_t in (B, k, N)."""
+def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False):
+    """Returns (amax, amin, s1, s2) in (B, S, F) and idx_t in (B, k, S).
+
+    ``q`` (B, S, C) are the query positions, ``kv`` (B, N, C) the key/value
+    positions ``u`` indexes; the self-kNN EdgeConv case passes q is kv. S must
+    be a multiple of TILE (wrappers pad query rows with far sentinels)."""
     F = u.shape[-1]
-    x = _pad_lanes(x)
+    q = _pad_lanes(q)
+    kv = _pad_lanes(kv)
     u = _pad_lanes(u)
     v = _pad_lanes(v)
-    B, N, C = x.shape
+    B, N, C = kv.shape
+    S = q.shape[1]
     Fp = u.shape[-1]
-    n_tiles = N // TILE
+    n_tiles = S // TILE
     grid = (B, n_tiles)
 
-    kernel = functools.partial(_fwd_kernel, k=k, unroll=k if _FWD_UNROLL else 1)
+    # full unroll up to k=24 (EdgeConv widths); chunked window beyond (the
+    # SA-node's k=64 would keep 64 (TILE, N) one-hots live and OOM VMEM)
+    if _FWD_UNROLL:
+        fwd_unroll = k if k <= 24 else next(
+            (c for c in range(8, 0, -1) if k % c == 0), 1
+        )
+    else:
+        fwd_unroll = 1
+    kernel = functools.partial(_fwd_kernel, k=k, unroll=fwd_unroll)
     out_shape = (
-        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # amax
-        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # amin
-        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # s1
-        jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # s2
-        jax.ShapeDtypeStruct((B, k, N), jnp.int32),  # idx (k on sublanes)
+        jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # amax
+        jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # amin
+        jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # s1
+        jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # s2
+        jax.ShapeDtypeStruct((B, k, S), jnp.int32),  # idx (k on sublanes)
     )
     tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
         (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
@@ -297,7 +343,7 @@ def _fwd_pallas(x, u, v, k: int, interpret: bool = False):
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(x, x, u, v)
+    )(q, kv, u, v)
     if Fp != F:
         amax, amin, s1, s2 = (a[..., :F] for a in (amax, amin, s1, s2))
     return amax, amin, s1, s2, idx_t
@@ -305,16 +351,24 @@ def _fwd_pallas(x, u, v, k: int, interpret: bool = False):
 
 def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
                 interpret: bool = False):
+    """u is (B, N, F) keyed by idx; v/amax/amin and the cotangents are per
+    QUERY (B, S, F); du comes back (B, N, F), dv (B, S, F)."""
     F = u.shape[-1]
     u, v, amax, amin, damax, damin, ds1, ds2 = (
         _pad_lanes(a) for a in (u, v, amax, amin, damax, damin, ds1, ds2)
     )
     B, N, Fp = u.shape
+    S = v.shape[1]
     k = idx_t.shape[1]
-    n_tiles = N // TILE
+    n_tiles = S // TILE
     grid = (B, n_tiles)
 
-    kernel = functools.partial(_bwd_kernel, k=k, unroll=1)
+    # window of python-unrolled iterations inside the fori body (see
+    # _bwd_kernel); 5 divides the k=20 EdgeConv neighborhood. Falls back to
+    # the largest divisor <= requested, or 1.
+    want = int(_os.environ.get("SUG_EDGECONV_BWD_CHUNK", "5"))
+    chunk = next((c for c in range(min(want, k), 0, -1) if k % c == 0), 1)
+    kernel = functools.partial(_bwd_kernel, k=k, unroll=chunk)
     tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
         (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
@@ -331,8 +385,8 @@ def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
         ],
         out_specs=(full_spec(Fp), tile_spec(Fp)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, Fp), jnp.float32),  # du (keys)
+            jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # dv (queries)
         ),
         interpret=interpret,
     )(idx_t, u, v, amax, amin, damax, damin, ds1, ds2)
@@ -357,9 +411,33 @@ def _squeeze_batch(kernel, n_in: int, n_out: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_cross(q, kv, u, v, k: int, interpret: bool = False):
+    """Core op: kNN of q against kv + gather-reduce of u (see wrappers)."""
+    amax, amin, s1, s2, idx_t = _fwd_pallas(q, kv, u, v, k, interpret)
+    return amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2)
+
+
+def _fused_fwd(q, kv, u, v, k, interpret):
+    amax, amin, s1, s2, idx_t = _fwd_pallas(q, kv, u, v, k, interpret)
+    out = (amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2))
+    return out, (q, kv, idx_t, u, v, amax, amin)
+
+
+def _fused_bwd(k, interpret, res, grads):
+    q, kv, idx_t, u, v, amax, amin = res
+    damax, damin, ds1, ds2, _didx = grads
+    du, dv = _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2, interpret)
+    # q/kv only select neighbors (non-differentiable) -> zero cotangent;
+    # their differentiable influence reaches the loss through u and v.
+    return jnp.zeros_like(q), jnp.zeros_like(kv), du, dv
+
+
+_fused_cross.defvjp(_fused_fwd, _fused_bwd)
+
+
 def fused_edgeconv_reduce(x, u, v, k: int, interpret: bool = False):
-    """Fused kNN + gather + per-(b,n,f) reductions.
+    """Fused kNN + gather + per-(b,n,f) reductions (self-kNN EdgeConv case).
 
     Args:
         x: (B, N, C) positions/features defining the kNN graph.
@@ -370,26 +448,41 @@ def fused_edgeconv_reduce(x, u, v, k: int, interpret: bool = False):
         amax, amin, s1, s2: (B, N, F) — max/min/sum/sum-of-squares over the k
         neighbor activations a_j = u[idx_j] + v; and idx (B, N, k) int32.
     """
-    amax, amin, s1, s2, idx_t = _fwd_pallas(x, u, v, k, interpret)
-    return amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2)
+    return _fused_cross(x, x, u, v, k, interpret)
 
 
-def _fused_fwd(x, u, v, k, interpret):
-    amax, amin, s1, s2, idx_t = _fwd_pallas(x, u, v, k, interpret)
-    out = (amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2))
-    return out, (x, idx_t, u, v, amax, amin)
+def fused_cross_edgeconv_reduce(q_pts, kv_pts, u, v, k: int,
+                                interpret: bool = False):
+    """Cross-query variant: for each of S query points, reduce over its k
+    nearest KEY points' values — the SA-node re-query + max-pool
+    (adapt_layer_off stage B, reference model/model_utils.py:119-123) and any
+    FPS-level "gather neighbors of coarse nodes" pattern, without the
+    (B, S, k, F) HBM gather or its scatter-add backward.
 
-
-def _fused_bwd(k, interpret, res, grads):
-    x, idx_t, u, v, amax, amin = res
-    damax, damin, ds1, ds2, _didx = grads
-    du, dv = _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2, interpret)
-    # x only selects neighbors (non-differentiable) -> zero cotangent; its
-    # differentiable influence reaches the loss through u and v.
-    return jnp.zeros_like(x), du, dv
-
-
-fused_edgeconv_reduce.defvjp(_fused_fwd, _fused_bwd)
+    Args:
+        q_pts: (B, S, C) query positions (S padded to TILE internally).
+        kv_pts: (B, N, C) key positions (N multiple of TILE).
+        u: (B, N, F) per-key values.
+        v: (B, S, F) per-query additive term (zeros for a plain gather-max).
+    Returns: amax, amin, s1, s2 (B, S, F); idx (B, S, k).
+    """
+    B, S, C = q_pts.shape
+    Sp = -(-S // TILE) * TILE
+    if Sp != S:
+        pad = Sp - S
+        # far, mutually-distant sentinel queries: their outputs are sliced
+        # off, and their zero cotangents keep du unpolluted in the backward
+        sentinels = 1e6 + 17.0 * jnp.arange(pad, dtype=q_pts.dtype)
+        q_pts = jnp.concatenate(
+            [q_pts, jnp.broadcast_to(sentinels[None, :, None], (B, pad, C))], axis=1
+        )
+        v = jnp.concatenate([v, jnp.zeros((B, pad, v.shape[-1]), v.dtype)], axis=1)
+    amax, amin, s1, s2, idx = _fused_cross(q_pts, kv_pts, u, v, k, interpret)
+    if Sp != S:
+        amax, amin, s1, s2, idx = (
+            a[:, :S] for a in (amax, amin, s1, s2, idx)
+        )
+    return amax, amin, s1, s2, idx
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,14 @@ def cfg_from_yaml_file(cfg_file: str, config: ConfigDict) -> ConfigDict:
     return merge_new_config(config, new_config or {})
 
 
+# --set roots that may be CREATED when absent from the YAML: every shipped
+# config predates these extension blocks (MODEL_CFG backbone overrides,
+# PRECISION mixed-precision policy), so `--set MODEL_CFG.PYRAMID grid` /
+# `--set PRECISION bf16` must work without editing the YAML. All other keys
+# keep the reference's exists-check (typo protection, utils/config.py:93).
+_CREATABLE_SET_ROOTS = ("MODEL_CFG", "PRECISION")
+
+
 def cfg_from_list(cfg_list, config: ConfigDict) -> None:
     """Typed dotted-path CLI overrides: ``--set A.B 1 C.D foo``
     (reference utils/config.py:83-115)."""
@@ -89,10 +97,21 @@ def cfg_from_list(cfg_list, config: ConfigDict) -> None:
     for k, v in zip(cfg_list[0::2], cfg_list[1::2]):
         key_list = k.split(".")
         d = config
+        creatable = key_list[0] in _CREATABLE_SET_ROOTS
         for subkey in key_list[:-1]:
+            if subkey not in d and creatable:
+                d[subkey] = ConfigDict()
             assert subkey in d, f"NotFoundKey: {subkey}"
             d = d[subkey]
         subkey = key_list[-1]
+        if subkey not in d and creatable:
+            try:
+                d[subkey] = literal_eval(v)
+            except (ValueError, SyntaxError):
+                d[subkey] = v
+            if isinstance(d[subkey], tuple):
+                d[subkey] = list(d[subkey])
+            continue
         assert subkey in d, f"NotFoundKey: {subkey}"
         try:
             value = literal_eval(v)
@@ -181,4 +200,26 @@ def resolve_seed(args, cfg=None) -> int:
         return 666 + local_rank
     import secrets
 
-    return int(secrets.randbits(31))
+    seed = int(secrets.randbits(31))
+
+    # Multi-host: every rank MUST agree on the seed — BatchIterator derives the
+    # shared epoch permutation from it (ranks would otherwise sample
+    # overlapping/missing data) and init_state seeds params before device_put
+    # to a replicated sharding. The reference is safe unseeded only because
+    # DistributedSampler carries its own rank-consistent default seed
+    # (data/dataloader.py:16-36); here we broadcast process 0's entropy.
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            import numpy as _np
+
+            seed = int(
+                _np.asarray(
+                    multihost_utils.broadcast_one_to_all(_np.int32(seed))
+                )
+            )
+    except Exception:  # jax not initialized / single-process fallback
+        pass
+    return seed

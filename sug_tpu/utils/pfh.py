@@ -74,6 +74,69 @@ def _bin_features(feats: jax.Array, div: int) -> jax.Array:
     return hist.reshape(hist.shape[:-2] + (3 * div,))
 
 
+def pfh_joint(pc: jax.Array, normals: jax.Array, k: int = 8, div: int = 5) -> jax.Array:
+    """Full PFH: div**3 JOINT histogram over all C(k+1, 2) point pairs inside
+    each point's {self + k neighbors} neighborhood — parity with the
+    reference's calcHistArray/calc_pfh_hist (utils/pfh.py:303-349, :497-520):
+
+    - pair orientation is canonicalized by the smaller normal/connecting-vector angle
+      (arccos is decreasing, so the reference condition
+      ``arccos(n_a.(p_b-p_a)) <= arccos(n_b.(p_a-p_b))`` is the comparison of
+      the dot products);
+    - theta uses ``arctan`` (range -pi/2..pi/2), not arctan2 — reference :341;
+    - bins: alpha, phi thresholds at -1 + i*2/div, theta at -pi/2 + i*pi/div,
+      joint index ``b_alpha + b_phi*div + b_theta*div**2`` (reference :505-518);
+    - histogram normalized by C(k+1, 2) (reference :347).
+
+    (B, N, 3) -> (B, N, div**3).
+    """
+    B, N, _ = pc.shape
+    idx = knn_indices(pc, k)  # (B, N, k)
+    self_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=idx.dtype)[None, :, None], (B, N, 1)
+    )
+    members = jnp.concatenate([self_idx, idx], axis=-1)  # (B, N, n), n = k+1
+    mp = index_points(pc, members)  # (B, N, n, 3)
+    mn = index_points(normals, members)
+    n = k + 1
+
+    pa = mp[:, :, :, None, :]
+    pb = mp[:, :, None, :, :]
+    na = mn[:, :, :, None, :]
+    nb = mn[:, :, None, :, :]
+    cond = (
+        jnp.sum(na * (pb - pa), axis=-1) >= jnp.sum(nb * (pa - pb), axis=-1)
+    )[..., None]
+    ps = jnp.where(cond, pa, pb)
+    pt = jnp.where(cond, pb, pa)
+    ns = jnp.where(cond, na, nb)
+    nt = jnp.where(cond, nb, na)
+
+    d = pt - ps
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+    u = ns
+    dhat = d / dist
+    v = jnp.cross(dhat, u)
+    w = jnp.cross(u, v)
+    alpha = jnp.sum(v * nt, axis=-1)
+    phi = jnp.sum(u * dhat, axis=-1)
+    theta = jnp.arctan(
+        jnp.sum(w * nt, axis=-1) / (jnp.sum(u * nt, axis=-1) + 1e-12)
+    )  # (B, N, n, n)
+
+    t_ap = -1.0 + jnp.arange(1, div) * (2.0 / div)  # alpha & phi thresholds
+    t_th = -np.pi / 2 + jnp.arange(1, div) * (np.pi / div)
+    b_a = jnp.sum(alpha[..., None] >= t_ap, axis=-1)
+    b_p = jnp.sum(phi[..., None] >= t_ap, axis=-1)
+    b_t = jnp.sum(theta[..., None] >= t_th, axis=-1)
+    joint = b_a + b_p * div + b_t * div * div  # (B, N, n, n)
+
+    pair_mask = jnp.triu(jnp.ones((n, n), jnp.float32), k=1)[None, None]
+    onehot = jax.nn.one_hot(joint, div**3) * pair_mask[..., None]
+    n_features = n * (n - 1) / 2.0
+    return jnp.sum(onehot, axis=(2, 3)) / n_features  # (B, N, div**3)
+
+
 def spfh(pc: jax.Array, normals: jax.Array, k: int = 8, div: int = 5) -> jax.Array:
     """Simplified PFH per point: angle features against the k neighbors,
     binned. (B, N, 3) -> (B, N, 3*div)."""
@@ -104,9 +167,14 @@ def pfh_descriptor_batch(
     pc: jax.Array, method: str = "FPFH", k: int = 8, div: int = 5
 ) -> jax.Array:
     """Per-cloud pooled descriptor: mean of per-point histograms.
-    (B, N, 3) -> (B, 3*div)."""
+    (B, N, 3) -> (B, 3*div) for SPFH/FPFH, (B, div**3) for full PFH."""
     normals = estimate_normals(pc, k)
-    per_point = fpfh(pc, normals, k, div) if method == "FPFH" else spfh(pc, normals, k, div)
+    if method == "FPFH":
+        per_point = fpfh(pc, normals, k, div)
+    elif method == "PFH":
+        per_point = pfh_joint(pc, normals, k, div)
+    else:
+        per_point = spfh(pc, normals, k, div)
     return jnp.mean(per_point, axis=1)
 
 

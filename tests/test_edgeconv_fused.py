@@ -171,3 +171,56 @@ class TestEdgeConvBlockEquivalence:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4,
                 err_msg="/".join(path),
             )
+
+
+class TestFusedCross:
+    """fused_cross_edgeconv_reduce (query set != key set) in interpret mode
+    vs the plain-XLA reference: kNN sets, reductions, and gradients."""
+
+    def _reference(self, q, kv, u, v, k):
+        from sug_tpu.ops.geometry import index_points, square_distance
+
+        d = square_distance(q, kv)
+        _, idx = jax.lax.top_k(-d, k)
+        a = index_points(u, idx) + v[:, :, None, :]
+        return jnp.max(a, 2), jnp.min(a, 2), jnp.sum(a, 2), jnp.sum(a * a, 2), idx
+
+    def test_cross_matches_reference(self, rng):
+        from sug_tpu.ops.edgeconv_pallas import fused_cross_edgeconv_reduce
+
+        B, S, N, F, k = 2, 64, 128, 64, 16  # S < TILE: exercises row padding
+        q = jnp.asarray(rng.normal(size=(B, S, 3)), jnp.float32)
+        kv = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+        u = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, F)), jnp.float32)
+        got = fused_cross_edgeconv_reduce(q, kv, u, v, k, interpret=True)
+        want = self._reference(q, kv, u, v, k)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got[4]), -1), np.sort(np.asarray(want[4]), -1)
+        )
+        for g, w in zip(got[:4], want[:4]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
+
+    def test_cross_gradients_match_reference(self, rng):
+        from sug_tpu.ops.edgeconv_pallas import fused_cross_edgeconv_reduce
+
+        B, S, N, F, k = 1, 32, 128, 8, 4
+        q = jnp.asarray(rng.normal(size=(B, S, 3)), jnp.float32)
+        kv = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+        u = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, F)), jnp.float32)
+
+        def loss_fused(u, v):
+            amax, amin, s1, s2, _ = fused_cross_edgeconv_reduce(
+                q, kv, u, v, k, interpret=True
+            )
+            return jnp.sum(amax * amin) + jnp.sum(s1 * 0.5) + jnp.sum(s2 * 0.1)
+
+        def loss_ref(u, v):
+            amax, amin, s1, s2, _ = self._reference(q, kv, u, v, k)
+            return jnp.sum(amax * amin) + jnp.sum(s1 * 0.5) + jnp.sum(s2 * 0.1)
+
+        gu_f, gv_f = jax.grad(loss_fused, argnums=(0, 1))(u, v)
+        gu_r, gv_r = jax.grad(loss_ref, argnums=(0, 1))(u, v)
+        np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gu_r), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), atol=3e-5)

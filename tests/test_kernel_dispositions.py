@@ -22,10 +22,13 @@ class TestGDOptimizer:
         # mean radius of movable points normalized to the 0.66 ratio
         r = np.linalg.norm(kp[1:], axis=1)
         np.testing.assert_allclose(r.mean(), 0.66, rtol=1e-5)
-        # repulsion: no two points collapse
+        # repulsion: no two points collapse. With the correctly-oriented
+        # inter-point force the converged min pairwise distance is ~0.59; a
+        # sign-flipped (attractive) force collapses a point onto the fixed
+        # center (min dist ~0.24), so the 0.5 threshold catches that bug.
         d = np.linalg.norm(kp[:, None] - kp[None, :], axis=-1)
         d[np.arange(15), np.arange(15)] = np.inf
-        assert d.min() > 0.2
+        assert d.min() > 0.5
 
     def test_verticals_constraint(self):
         kp = kernel_point_optimization_gd(15, 3, "verticals", num_kernels=4)

@@ -108,3 +108,29 @@ class TestNativeIterator:
         assert len(batches) == 4  # ceil(60/16)
         for bp, _ in batches:
             assert bp.shape == (16, 64, 3)  # fixed shape, tail wrapped
+
+    def test_from_arrays_matches_file_path(self, dumps):
+        pp, lp, pts, labels = dumps
+        pds = PointCloudDataset("modelnet", pts, labels, num_points=64)
+        nds = native.NativePointCloudDataset.from_arrays(pds.pts, pds.labels)
+        npts, nlabels = nds.arrays()
+        np.testing.assert_array_equal(npts, pds.pts)
+        np.testing.assert_array_equal(nlabels, pds.labels)
+        assert nds.cls_num_counter == pds.cls_num_counter
+
+    def test_mid_epoch_set_epoch_restarts_cleanly(self, dumps):
+        """The DG loop zips paired iterators and abandons the longer one
+        mid-epoch; set_epoch must quiesce the prefetch thread and restart."""
+        pp, lp, pts, labels = dumps
+        pds = PointCloudDataset("modelnet", pts, labels, num_points=64)
+        nds = native.NativePointCloudDataset.from_arrays(pds.pts, pds.labels)
+        it = native.NativeBatchIterator(nds, batch_size=10, shuffle=True, seed=7)
+        for n_consume in (0, 1, 3):
+            gen = iter(it)
+            for _ in range(n_consume):
+                next(gen)
+            it.set_epoch(42)
+            batches = list(it)
+            assert len(batches) == 6
+            labels_seen = sorted(np.concatenate([l for _, l in batches]).tolist())
+            assert labels_seen == sorted(pds.labels.tolist())

@@ -51,6 +51,64 @@ class TestPFH:
         h = rng.uniform(0, 1, (4, 15))
         assert pfh_hist_distance(h, h) == pytest.approx(0.0)
 
+    def test_pfh_joint_matches_numpy_oracle(self, rng):
+        """method='PFH' must produce the reference's div**3 JOINT histogram
+        (utils/pfh.py:303-349,:497-520), not concatenated marginals. Oracle:
+        direct per-pair numpy evaluation of that spec, fed the same normals
+        and neighbor sets as the jax path (isolates binning semantics from
+        kNN tie-breaks)."""
+        import jax
+
+        from sug_tpu.ops.geometry import knn_indices
+        from sug_tpu.utils.pfh import pfh_joint
+
+        k, div = 5, 3
+        pc = np.asarray(rng.normal(size=(2, 24, 3)), np.float32)
+        normals = np.asarray(estimate_normals(jnp.asarray(pc), k=k))
+        idx = np.asarray(knn_indices(jnp.asarray(pc), k))
+
+        def oracle_hist(pts, nrm, members):
+            hist = np.zeros(div**3)
+            n = len(members)
+            for a in range(n):
+                for b in range(a + 1, n):
+                    pA, pB = pts[members[a]], pts[members[b]]
+                    nA, nB = nrm[members[a]], nrm[members[b]]
+                    if np.dot(nA, pB - pA) >= np.dot(nB, pA - pB):
+                        ps, pt, ns, nt = pA, pB, nA, nB
+                    else:
+                        ps, pt, ns, nt = pB, pA, nB, nA
+                    d = pt - ps
+                    d = d / (np.linalg.norm(d) + 1e-12)
+                    u = ns
+                    v = np.cross(d, u)
+                    w = np.cross(u, v)
+                    alpha = np.dot(v, nt)
+                    phi = np.dot(u, d)
+                    theta = np.arctan(np.dot(w, nt) / (np.dot(u, nt) + 1e-12))
+                    t_ap = [-1 + i * 2.0 / div for i in range(1, div)]
+                    t_th = [-np.pi / 2 + i * np.pi / div for i in range(1, div)]
+                    b_a = sum(alpha >= t for t in t_ap)
+                    b_p = sum(phi >= t for t in t_ap)
+                    b_t = sum(theta >= t for t in t_th)
+                    hist[b_a + b_p * div + b_t * div * div] += 1
+            return hist / (n * (n - 1) / 2.0)
+
+        got = np.asarray(pfh_joint(jnp.asarray(pc), jnp.asarray(normals), k, div))
+        assert got.shape == (2, 24, div**3)
+        for b in range(2):
+            for i in range(0, 24, 7):
+                members = [i] + list(idx[b, i])
+                want = oracle_hist(pc[b], normals[b], members)
+                np.testing.assert_allclose(got[b, i], want, atol=1e-5)
+        # per-point histograms are normalized distributions
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+    def test_pfh_method_dispatch_shapes(self, rng):
+        pc = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+        assert pfh_descriptor_batch(pc, "PFH", 8, 5).shape == (2, 125)
+        assert pfh_descriptor_batch(pc, "FPFH", 8, 5).shape == (2, 15)
+
 
 class TestVisualization:
     def test_feature_scatter_writes_png(self, tmp_path, rng):
