@@ -57,16 +57,27 @@ class SelfAdaptiveNodeModule(nn.Module):
         # optimizer group (train_dg_single_gpu.py:191) — the param name
         # 'pred_offset' is the contract the optimizer masking keys on.
         #
-        # Project-before-gather: with no bias the conv is linear, so
-        # ``(feats[idx] - feats[fps]) @ W == P[idx] - P[fps]`` with
-        # ``P = feats @ W`` computed ONCE per point. The (B, S, ns, C) feature
-        # gather (the largest fusion in the PointNet step trace, docs/PERF.md)
-        # becomes a 3-channel gather — ~20x less gather traffic, same math up
-        # to f32 reassociation.
-        proj = nn.Dense(3, use_bias=False, name="pred_offset")(feats)  # (B, N, 3)
-        p_node = index_points(proj, fps_idx)  # (B, S, 3)
-        p_group = index_points(proj, group_idx)  # (B, S, ns, 3)
-        seman_trans = nn.tanh(p_group - p_node[:, :, None, :])  # (B, S, ns, 3)
+        # Project-before-gather (OFF by default): with no bias the conv is
+        # linear, so ``(feats[idx] - feats[fps]) @ W == P[idx] - P[fps]`` with
+        # ``P = feats @ W`` computed once per point — nominally ~20x less
+        # gather traffic. MEASURED SLOWER on TPU v5e (81.7 vs 75.8 ms
+        # PointNet DG step): a 3-channel gather still moves full 128-lane
+        # tiles, so narrow gathers save nothing, and the wide gather fuses
+        # into the Dense. Kept behind SUG_SANODE_PROJ_FIRST=1 for
+        # lane-flexible backends; same math up to f32 reassociation.
+        import os as _os
+
+        if _os.environ.get("SUG_SANODE_PROJ_FIRST", "0") == "1":
+            proj = nn.Dense(3, use_bias=False, name="pred_offset")(feats)  # (B, N, 3)
+            p_node = index_points(proj, fps_idx)  # (B, S, 3)
+            p_group = index_points(proj, group_idx)  # (B, S, ns, 3)
+            seman_trans = nn.tanh(p_group - p_node[:, :, None, :])  # (B, S, ns, 3)
+        else:  # gather-then-project (the pre-optimization order, for A/B)
+            fpoint_fea = index_points(feats, fps_idx)
+            group_fea = index_points(feats, group_idx) - fpoint_fea[:, :, None, :]
+            seman_trans = nn.tanh(
+                nn.Dense(3, use_bias=False, name="pred_offset")(group_fea)
+            )
         group_loc = index_points(xyz, group_idx) - fpoint_loc[:, :, None, :]
         node_offset = jnp.mean(seman_trans * group_loc, axis=2)  # (B, S, 3)
 
@@ -86,6 +97,7 @@ class SelfAdaptiveNodeModule(nn.Module):
             # max over the k neighbors' residual features — replaces the
             # (B, S, ns, fc) gather + its scatter-add backward (the largest
             # fusions in the PointNet step trace, docs/PERF.md)
+            from sug_tpu.models.precision import compute_dtype
             from sug_tpu.ops.edgeconv_pallas import fused_cross_edgeconv_reduce
 
             zeros_v = jnp.zeros(
@@ -94,6 +106,7 @@ class SelfAdaptiveNodeModule(nn.Module):
             node_fea, _, _, _, _ = fused_cross_edgeconv_reduce(
                 node_loc, xyz, residual_fea.astype(jnp.float32), zeros_v,
                 min(self.nsample, xyz.shape[1]),
+                values_bf16=compute_dtype() == jnp.bfloat16,
             )
         else:
             group_idx2 = query_ball_point(None, self.nsample, xyz, node_loc)

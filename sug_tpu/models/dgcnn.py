@@ -66,7 +66,14 @@ class _EdgeConvBlock(nn.Module):
             and N % TILE == 0
         )
         if use_fused:
-            amax, amin, s1, s2, _ = fused_edgeconv_reduce(x, u, v, K_NEIGHBORS)
+            from sug_tpu.models.precision import compute_dtype
+
+            # PRECISION bf16: single-pass bf16 VALUE gathers inside the
+            # kernel (neighbor selection stays f32 — docs/PERF.md)
+            amax, amin, s1, s2, _ = fused_edgeconv_reduce(
+                x, u.astype(jnp.float32), v.astype(jnp.float32), K_NEIGHBORS,
+                values_bf16=compute_dtype() == jnp.bfloat16,
+            )
         else:
             amax, amin, s1, s2, _ = edgeconv_reduce_reference(x, u, v, K_NEIGHBORS)
 

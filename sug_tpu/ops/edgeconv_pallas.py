@@ -104,11 +104,16 @@ def _onehotT_dot(onehotT, b):
 
 def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
                 amax_ref, amin_ref, s1_ref, s2_ref, idx_ref, *, k: int,
-                unroll: int = 1):
+                unroll: int = 1, values_bf16: bool = False):
     """One (batch, tile) program.
 
     Blocks: x_tile (TILE, C), xb (N, C), u (N, F), v (TILE, F);
     outputs amax/amin/s1/s2 (TILE, F), idx (TILE, k) int32.
+
+    ``values_bf16`` (the PRECISION: bf16 policy): gather u in ONE bf16 MXU
+    pass instead of the exact two-pass split — halves the dominant gather
+    cost; neighbor SELECTION (the distance path) stays f32-split regardless,
+    so kNN sets are identical to the f32 kernel.
     """
     x_tile = x_tile_ref[:]  # (TILE, C)
     xb = xb_ref[:]  # (N, C)
@@ -119,7 +124,11 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
     neg_d = 2.0 * _dot_acc(x_tile, xb.T) - jnp.sum(xb * xb, axis=1)[None, :]  # (TILE, N)
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
-    u_hi, u_lo = _split_bf16(u_ref[:])  # hoisted: loop-invariant (N, F) split
+    if values_bf16:
+        u_hi = u_ref[:].astype(jnp.bfloat16)  # single-pass value gathers
+        u_lo = None
+    else:
+        u_hi, u_lo = _split_bf16(u_ref[:])  # hoisted loop-invariant (N, F) split
     v = v_ref[:]  # (TILE, F)
 
     # fori_loop (not a python unroll): an unrolled k-loop keeps every
@@ -135,12 +144,17 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
         eligible = neg_d == rowmax
         # lowest index among ties (lax.top_k / torch.topk tie order)
         j_sel = jnp.min(jnp.where(eligible, iota_n, N), axis=1, keepdims=True)
-        onehot = (iota_n == j_sel).astype(jnp.float32)  # (TILE, N)
-        a = (
-            jnp.dot(onehot, u_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(onehot, u_lo, preferred_element_type=jnp.float32)
-            + v
-        )  # (TILE, F); exact gather (one-hot rows are exactly bf16)
+        if u_lo is None:
+            onehot = (iota_n == j_sel).astype(jnp.bfloat16)  # (TILE, N)
+            a = jnp.dot(onehot, u_hi, preferred_element_type=jnp.float32) + v
+            onehot = onehot.astype(jnp.float32)
+        else:
+            onehot = (iota_n == j_sel).astype(jnp.float32)  # (TILE, N)
+            a = (
+                jnp.dot(onehot, u_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(onehot, u_lo, preferred_element_type=jnp.float32)
+                + v
+            )  # (TILE, F); exact gather (one-hot rows are exactly bf16)
         idx_acc = jnp.where(iota_k == j, jnp.broadcast_to(j_sel.T, (k, TILE)), idx_acc)
         return (
             jnp.where(onehot > 0, -jnp.inf, neg_d),
@@ -194,13 +208,17 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
 
 def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
                 damax_ref, damin_ref, ds1_ref, ds2_ref,
-                du_ref, dv_ref, *, k: int, unroll: int = 1):
+                du_ref, dv_ref, *, k: int, unroll: int = 1,
+                values_bf16: bool = False):
     """Mirror of the forward: da_k = damax*selmax + damin*selmin + ds1 +
     2*a_k*ds2; dU += onehot^T @ da_k (accumulated across the batch row's
     tiles — the dU output block revisits per-b), dV = sum_k da_k."""
     t = pl.program_id(1)
 
-    u_hi, u_lo = _split_bf16(u_ref[:])  # hoisted loop-invariant split (N, F)
+    if values_bf16:
+        u_hi, u_lo = u_ref[:].astype(jnp.bfloat16), None
+    else:
+        u_hi, u_lo = _split_bf16(u_ref[:])  # hoisted loop-invariant split (N, F)
     v = v_ref[:]  # (TILE, F)
     amax = amax_ref[:]
     amin = amin_ref[:]
@@ -228,22 +246,37 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
         row = jnp.sum(jnp.where(iota_k == j, idx, 0), axis=0, keepdims=True)  # (1, TILE)
         # one-hot built directly in transposed (N, TILE) layout — no in-loop
         # transpose, both uses contract it via dot/dot_general on the MXU
-        onehotT = (iota_nT == row).astype(jnp.float32)  # [n, t] = (idx_t == n)
         dn = (((0,), (0,)), ((), ()))
-        a = (
-            jax.lax.dot_general(onehotT, u_hi, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(onehotT, u_lo, dn, preferred_element_type=jnp.float32)
-            + v
-        )  # (TILE, F)
+        if u_lo is None:
+            onehotT_b = (iota_nT == row).astype(jnp.bfloat16)
+            a = (
+                jax.lax.dot_general(
+                    onehotT_b, u_hi, dn, preferred_element_type=jnp.float32
+                )
+                + v
+            )  # (TILE, F) — bit-identical to the forward's bf16 gather
+        else:
+            onehotT = (iota_nT == row).astype(jnp.float32)  # [n, t] = (idx_t == n)
+            a = (
+                jax.lax.dot_general(onehotT, u_hi, dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(onehotT, u_lo, dn, preferred_element_type=jnp.float32)
+                + v
+            )  # (TILE, F)
         selmax = jnp.where(a == amax, 1.0, 0.0) * (1.0 - assigned_max)
         selmin = jnp.where(a == amin, 1.0, 0.0) * (1.0 - assigned_min)
         da = damax * selmax + damin * selmin + ds1 + 2.0 * a * ds2
-        da_hi, da_lo = _split_bf16(da)
-        du_new = (
-            du_acc
-            + jnp.dot(onehotT, da_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(onehotT, da_lo, preferred_element_type=jnp.float32)
-        )  # (N, F)
+        if u_lo is None:
+            du_new = du_acc + jnp.dot(
+                onehotT_b, da.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (N, F) f32-accumulated from bf16-rounded per-edge cotangents
+        else:
+            da_hi, da_lo = _split_bf16(da)
+            du_new = (
+                du_acc
+                + jnp.dot(onehotT, da_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(onehotT, da_lo, preferred_element_type=jnp.float32)
+            )  # (N, F)
         return (
             jnp.maximum(assigned_max, selmax),
             jnp.maximum(assigned_min, selmin),
@@ -255,7 +288,7 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
         jnp.zeros_like(v),
         jnp.zeros_like(v),
         jnp.zeros_like(v),
-        jnp.zeros_like(u_hi),
+        jnp.zeros(u_hi.shape, jnp.float32),  # du accumulates f32 either mode
     )
     # Chunked unroll: Mosaic's fori_loop supports only unroll=1/full, and a
     # full unroll keeps all k one-hot (N, TILE) buffers live on the VMEM
@@ -294,7 +327,8 @@ def _pad_lanes(a, to: int = 128):
     return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
 
 
-def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False):
+def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False,
+                values_bf16: bool = False):
     """Returns (amax, amin, s1, s2) in (B, S, F) and idx_t in (B, k, S).
 
     ``q`` (B, S, C) are the query positions, ``kv`` (B, N, C) the key/value
@@ -319,7 +353,9 @@ def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False):
         )
     else:
         fwd_unroll = 1
-    kernel = functools.partial(_fwd_kernel, k=k, unroll=fwd_unroll)
+    kernel = functools.partial(
+        _fwd_kernel, k=k, unroll=fwd_unroll, values_bf16=values_bf16
+    )
     out_shape = (
         jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # amax
         jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # amin
@@ -350,7 +386,7 @@ def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False):
 
 
 def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
-                interpret: bool = False):
+                interpret: bool = False, values_bf16: bool = False):
     """u is (B, N, F) keyed by idx; v/amax/amin and the cotangents are per
     QUERY (B, S, F); du comes back (B, N, F), dv (B, S, F)."""
     F = u.shape[-1]
@@ -368,7 +404,9 @@ def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
     # the largest divisor <= requested, or 1.
     want = int(_os.environ.get("SUG_EDGECONV_BWD_CHUNK", "5"))
     chunk = next((c for c in range(min(want, k), 0, -1) if k % c == 0), 1)
-    kernel = functools.partial(_bwd_kernel, k=k, unroll=chunk)
+    kernel = functools.partial(
+        _bwd_kernel, k=k, unroll=chunk, values_bf16=values_bf16
+    )
     tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
         (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
@@ -411,23 +449,25 @@ def _squeeze_batch(kernel, n_in: int, n_out: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_cross(q, kv, u, v, k: int, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_cross(q, kv, u, v, k: int, interpret: bool = False,
+                 values_bf16: bool = False):
     """Core op: kNN of q against kv + gather-reduce of u (see wrappers)."""
-    amax, amin, s1, s2, idx_t = _fwd_pallas(q, kv, u, v, k, interpret)
+    amax, amin, s1, s2, idx_t = _fwd_pallas(q, kv, u, v, k, interpret, values_bf16)
     return amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2)
 
 
-def _fused_fwd(q, kv, u, v, k, interpret):
-    amax, amin, s1, s2, idx_t = _fwd_pallas(q, kv, u, v, k, interpret)
+def _fused_fwd(q, kv, u, v, k, interpret, values_bf16):
+    amax, amin, s1, s2, idx_t = _fwd_pallas(q, kv, u, v, k, interpret, values_bf16)
     out = (amax, amin, s1, s2, jnp.swapaxes(idx_t, 1, 2))
     return out, (q, kv, idx_t, u, v, amax, amin)
 
 
-def _fused_bwd(k, interpret, res, grads):
+def _fused_bwd(k, interpret, values_bf16, res, grads):
     q, kv, idx_t, u, v, amax, amin = res
     damax, damin, ds1, ds2, _didx = grads
-    du, dv = _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2, interpret)
+    du, dv = _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
+                         interpret, values_bf16)
     # q/kv only select neighbors (non-differentiable) -> zero cotangent;
     # their differentiable influence reaches the loss through u and v.
     return jnp.zeros_like(q), jnp.zeros_like(kv), du, dv
@@ -436,7 +476,8 @@ def _fused_bwd(k, interpret, res, grads):
 _fused_cross.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_edgeconv_reduce(x, u, v, k: int, interpret: bool = False):
+def fused_edgeconv_reduce(x, u, v, k: int, interpret: bool = False,
+                          values_bf16: bool = False):
     """Fused kNN + gather + per-(b,n,f) reductions (self-kNN EdgeConv case).
 
     Args:
@@ -448,11 +489,12 @@ def fused_edgeconv_reduce(x, u, v, k: int, interpret: bool = False):
         amax, amin, s1, s2: (B, N, F) — max/min/sum/sum-of-squares over the k
         neighbor activations a_j = u[idx_j] + v; and idx (B, N, k) int32.
     """
-    return _fused_cross(x, x, u, v, k, interpret)
+    return _fused_cross(x, x, u, v, k, interpret, values_bf16)
 
 
 def fused_cross_edgeconv_reduce(q_pts, kv_pts, u, v, k: int,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                values_bf16: bool = False):
     """Cross-query variant: for each of S query points, reduce over its k
     nearest KEY points' values — the SA-node re-query + max-pool
     (adapt_layer_off stage B, reference model/model_utils.py:119-123) and any
@@ -477,7 +519,9 @@ def fused_cross_edgeconv_reduce(q_pts, kv_pts, u, v, k: int,
             [q_pts, jnp.broadcast_to(sentinels[None, :, None], (B, pad, C))], axis=1
         )
         v = jnp.concatenate([v, jnp.zeros((B, pad, v.shape[-1]), v.dtype)], axis=1)
-    amax, amin, s1, s2, idx = _fused_cross(q_pts, kv_pts, u, v, k, interpret)
+    amax, amin, s1, s2, idx = _fused_cross(
+        q_pts, kv_pts, u, v, k, interpret, values_bf16
+    )
     if Sp != S:
         amax, amin, s1, s2, idx = (
             a[:, :S] for a in (amax, amin, s1, s2, idx)

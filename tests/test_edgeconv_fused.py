@@ -224,3 +224,49 @@ class TestFusedCross:
         gu_r, gv_r = jax.grad(loss_ref, argnums=(0, 1))(u, v)
         np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gu_r), atol=3e-5)
         np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), atol=3e-5)
+
+    def test_values_bf16_same_neighbors_close_values(self, rng):
+        """PRECISION bf16 kernel mode: neighbor sets must be IDENTICAL to the
+        f32 kernel (selection path untouched); values within bf16 rounding."""
+        from sug_tpu.ops.edgeconv_pallas import fused_cross_edgeconv_reduce
+
+        B, S, N, F, k = 2, 64, 128, 64, 8
+        q = jnp.asarray(rng.normal(size=(B, S, 3)), jnp.float32)
+        kv = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+        u = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, F)), jnp.float32)
+        f32 = fused_cross_edgeconv_reduce(q, kv, u, v, k, interpret=True)
+        b16 = fused_cross_edgeconv_reduce(
+            q, kv, u, v, k, interpret=True, values_bf16=True
+        )
+        np.testing.assert_array_equal(np.asarray(f32[4]), np.asarray(b16[4]))
+        for a, b in zip(f32[:4], b16[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=0.03, rtol=0.02
+            )
+
+    def test_values_bf16_gradients_finite_and_close(self, rng):
+        from sug_tpu.ops.edgeconv_pallas import fused_cross_edgeconv_reduce
+
+        B, S, N, F, k = 1, 32, 128, 8, 4
+        q = jnp.asarray(rng.normal(size=(B, S, 3)), jnp.float32)
+        kv = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+        u = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, F)), jnp.float32)
+
+        def loss(u, v, vb):
+            amax, _, s1, _, _ = fused_cross_edgeconv_reduce(
+                q, kv, u, v, k, interpret=True, values_bf16=vb
+            )
+            return jnp.sum(amax) + 0.1 * jnp.sum(s1)
+
+        gu32, gv32 = jax.grad(loss, argnums=(0, 1))(u, v, False)
+        gu16, gv16 = jax.grad(loss, argnums=(0, 1))(u, v, True)
+        assert np.isfinite(np.asarray(gu16)).all()
+        # bf16-rounded values may flip a near-tied max between two nearly
+        # equal neighbors, rerouting that cotangent — allow a small fraction
+        # of such flips; everything else must match to bf16 tolerance
+        diff = np.abs(np.asarray(gu16) - np.asarray(gu32))
+        assert (diff > 0.05).mean() < 0.01, f"{(diff > 0.05).mean():.3%} flipped"
+        # dv sums da over k — max-routing flips cancel there
+        np.testing.assert_allclose(np.asarray(gv16), np.asarray(gv32), atol=0.05)
