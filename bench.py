@@ -204,6 +204,29 @@ def main():
     r = measure()
     baseline, note = _load_baseline()
     vs = r["clouds_per_sec"] / baseline if baseline else 1.0
+
+    # the PRECISION: bf16 configuration (same model/losses; backbone compute
+    # in bf16, f32 params/BN-stats/neighbor-selection/losses + bf16 value
+    # gathers in the fused kernels) — reported alongside the f32 canonical
+    # number; accuracy-parity evidence in docs/PERF.md / docs/VALIDATION.md
+    bf16 = {}
+    try:
+        from sug_tpu.models.precision import set_compute_dtype
+
+        set_compute_dtype("bf16")
+        rb = measure()
+        bf16 = {
+            "bf16_clouds_per_sec": round(rb["clouds_per_sec"], 2),
+            "bf16_ms_per_step": round(rb["ms_per_step"], 2),
+        }
+    except Exception:
+        pass
+    finally:
+        try:
+            set_compute_dtype(None)
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {
@@ -214,6 +237,7 @@ def main():
                 "ms_per_step": round(r["ms_per_step"], 2),
                 "step_tflop": round(r["flops_per_step"] / 1e12, 3),
                 "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] is not None else None,
+                **bf16,
                 "baseline_note": note,
             }
         )

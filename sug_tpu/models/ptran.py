@@ -122,11 +122,35 @@ class PointTransformerBackbone(nn.Module):
         train: bool,
         fps_start: Optional[jax.Array] = None,
     ):
-        # remat the attention blocks: each materializes (B, N, k, d_model)
-        # intermediates (~1GB/block at B=32, N=1024, d=512); saving them for
-        # backward spills HBM and cost a 50x slowdown (376ms -> 7.4ms/step
-        # measured on v5e with recompute-in-backward)
-        AttnBlock = nn.remat(VectorAttentionBlock)
+        # Rematerialization policy for the attention blocks. Each block
+        # materializes several (B, N, k, d_model) per-edge tensors; whether
+        # to SAVE them for backward (fast, HBM-hungry) or RECOMPUTE them
+        # (remat) depends on whether they fit. Measured at B=32+32 on v5e:
+        # full-remat 467 ms f32 / 349 bf16, no-remat 352 f32 / 256 bf16 —
+        # no-remat is ~35% faster whenever it fits. "auto" (default) picks
+        # no-remat when the estimated saved-activation footprint stays under
+        # ~11GB of the chip's 16GB HBM, else full remat; SUG_PTRAN_REMAT
+        # in {none, dots, full} overrides.
+        import os
+
+        mode = os.environ.get("SUG_PTRAN_REMAT", "auto")
+        if mode == "auto":
+            from sug_tpu.models.precision import compute_dtype
+
+            B, N = pc.shape[0], pc.shape[1]
+            bytes_per = 2 if compute_dtype() is not None else 4
+            # ~7 live (B, sum_l N_l ~= 1.34N, k, d_model) per-edge tensors
+            est = 7 * B * int(1.34 * N) * self.nneighbor * self.transformer_dim * bytes_per
+            mode = "none" if est < 11e9 else "full"
+        if mode == "none":
+            AttnBlock = VectorAttentionBlock
+        elif mode == "dots":
+            AttnBlock = nn.remat(
+                VectorAttentionBlock,
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
+        else:
+            AttnBlock = nn.remat(VectorAttentionBlock)
         N = pc.shape[1]
         xyz = pc
         x = nn.Dense(32, name="fc1a")(pc)

@@ -31,6 +31,21 @@ mean/var are functions of s1/s2), and accumulate dU via transposed one-hot
 matmuls and dV by summation. x itself receives zero gradient from the kernel
 (it enters only through the non-differentiable neighbor selection; its
 differentiable influence flows through U and V outside).
+
+Two generalizations (round 3):
+- ``fused_cross_edgeconv_reduce``: the query set may differ from the key set
+  (q_pts vs kv_pts) — serves the SA-node's kNN-64 re-query + max-pool
+  (adapt_layer_off, reference model/model_utils.py:119-123) with the same
+  kernels; query rows are padded to TILE with far sentinels.
+- ``values_bf16`` (PRECISION: bf16): value gathers in one bf16 MXU pass
+  instead of the exact two-pass split (selection stays f32-split, so kNN
+  sets are identical); halves the dominant gather matmul cost fwd+bwd.
+
+Loop scheduling: Mosaic's fori_loop lowers with unroll=1 or full only. The
+forward fully unrolls up to k=24; beyond that (SA-node k=64) and in the
+backward (whose full unroll OOMs the VMEM stack at F=256) a python-unrolled
+window INSIDE the fori body (chunked unroll) gives the scheduler independent
+gather matmuls to software-pipeline with a bounded live set.
 """
 
 from __future__ import annotations

@@ -88,6 +88,9 @@ def cfg_from_yaml_file(cfg_file: str, config: ConfigDict) -> ConfigDict:
 # `--set PRECISION bf16` must work without editing the YAML. All other keys
 # keep the reference's exists-check (typo protection, utils/config.py:93).
 _CREATABLE_SET_ROOTS = ("MODEL_CFG", "PRECISION")
+# exact dotted paths that may also be created (extension leaves under
+# otherwise-strict blocks)
+_CREATABLE_SET_PATHS = ("DATASET.FIXED_X_ROTATION",)
 
 
 def cfg_from_list(cfg_list, config: ConfigDict) -> None:
@@ -97,7 +100,7 @@ def cfg_from_list(cfg_list, config: ConfigDict) -> None:
     for k, v in zip(cfg_list[0::2], cfg_list[1::2]):
         key_list = k.split(".")
         d = config
-        creatable = key_list[0] in _CREATABLE_SET_ROOTS
+        creatable = key_list[0] in _CREATABLE_SET_ROOTS or k in _CREATABLE_SET_PATHS
         for subkey in key_list[:-1]:
             if subkey not in d and creatable:
                 d[subkey] = ConfigDict()
