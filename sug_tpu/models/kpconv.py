@@ -63,14 +63,19 @@ KPCONV_DEFAULTS = dict(
     kp_method="lloyd",  # or "gd" (reference kernel_point_optimization_debug)
     kp_random_init=False,  # reference load-time rotation + 0.01 jitter
     kp_seed=0,
-    # pyramid construction: "fps" = the fixed-capacity FPS redesign (round-2
-    # default, dl=0.05/K=24 tuned constants below); "grid" = reference-like
-    # voxel-grid subsampling (MinkowskiEngine quantization + segment mean,
-    # model/KPConv_model.py:362-389) at grid_dl with fixed per-level voxel
-    # capacities and validity masks. Set MODEL_CFG.pyramid: grid to A/B the
-    # two structures on the same data.
-    pyramid="fps",
-    grid_dl=0.02,  # reference first_subsampling_dl (model/KPConv_model.py:26)
+    # pyramid construction: "grid" (default) = reference-structured voxel
+    # subsampling (MinkowskiEngine quantization + segment mean,
+    # model/KPConv_model.py:362-389) rebuilt as fixed-capacity voxel hashing
+    # with per-level validity masks; "fps" = the round-2 FPS redesign.
+    # Measured on the synthetic transfer benchmark (12-epoch DG, same seed):
+    # grid 0.80/0.80 test1/test2 vs fps 0.40/0.43 — the voxel receptive-field
+    # structure transfers far better, so it is the default.
+    pyramid="grid",
+    # the reference uses dl=0.02 (model/KPConv_model.py:26); on unit-norm
+    # 1024-pt clouds that starves r0=0.05 balls (see check_neighbor_occupancy
+    # warning) — 0.05 gives healthy occupancy and matches the fps pyramid's
+    # radius schedule. Recalibrate per dataset (tools/calibrate_kpconv.py).
+    grid_dl=0.05,
     grid_capacities=(1024, 512, 256, 96, 48),
     neighbor_limits=None,  # per-level override of NEIGHBOR_LIMITS
     architecture=(

@@ -114,10 +114,13 @@ class TestGridPyramid:
         for leaf in jax.tree.leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
 
-    def test_fps_mode_unchanged(self, rng):
-        """Default config must keep the round-2 FPS pyramid (valid=None)."""
+    def test_pyramid_mode_defaults(self, rng):
+        """grid is the default (reference structure + measured transfer win);
+        pyramid=fps keeps the round-2 FPS pyramid (valid=None)."""
         pc = jnp.asarray(rng.normal(size=(1, 128, 3)), jnp.float32)
         pyr = build_pyramid(pc, dict(KPCONV_DEFAULTS))
+        assert pyr["valid"] is not None
+        pyr = build_pyramid(pc, dict(KPCONV_DEFAULTS, pyramid="fps"))
         assert pyr["valid"] is None
 
     def test_pad_rows_do_not_leak_into_global_feat(self, rng):

@@ -184,6 +184,34 @@ def main():
 
     timed_scan(mk_aug, label="augment_batch")
 
+    # ---- fused EdgeConv blocks fwd+bwd at each width ---------------------
+    if jax.default_backend() == "tpu":
+        from sug_tpu.ops.edgeconv_pallas import fused_edgeconv_reduce
+
+        for F, vb in ((64, False), (256, False), (256, True)):
+            xF = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+            uF = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+            vF = jnp.asarray(rng.normal(size=(B, N, F)), jnp.float32)
+
+            def mk_block(xF=xF, uF=uF, vF=vF, vb=vb):
+                def loss(u, v, eps):
+                    amax, amin, s1, s2, _ = fused_edgeconv_reduce(
+                        xF + eps, u, v, 20, values_bf16=vb
+                    )
+                    return jnp.sum(amax - amin) + jnp.sum(s1) * 0.1 + jnp.sum(s2) * 0.01
+
+                g = jax.grad(loss, argnums=(0, 1))
+
+                def body(c, t):
+                    du, dv = g(uF + c * 0, vF, t * 1e-7)
+                    return jnp.sum(du) * 1e-9 + jnp.sum(dv) * 1e-12, None
+                return jnp.zeros(()), body
+
+            timed_scan(
+                mk_block,
+                label=f"fused block fwd+bwd  F={F}{' bf16' if vb else ''}",
+            )
+
     # ---- model forwards --------------------------------------------------
     from sug_tpu.models import NetMDA
 
