@@ -28,10 +28,65 @@ from sug_tpu.ops.geometry import (
 )
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly the params an nn.Dense would (same names, shapes,
+    inits -> identical param tree and identical init values), but returns
+    the raw (kernel, bias) for the fused vector-attention kernel, which
+    consumes weights directly (the per-edge MLPs run inside the kernel)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from flax.linen.linear import default_kernel_init
+
+        kernel = self.param(
+            "kernel", default_kernel_init, (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _vecattn_mode(n: int, d_model: int) -> str:
+    """'fused' | 'interpret' | 'xla' for a given attention level.
+
+    SUG_FUSED_VECATTN: 1 force-fused, 0 force-XLA, interpret = fused kernel
+    in interpret mode (CPU tests), auto (default) = fused on TPU whenever
+    the level's shapes tile (the kernel's matmuls are single-pass bf16 — the
+    PRECISION: bf16 policy's precision — so auto additionally requires the
+    bf16 policy to keep f32 runs exactly on the XLA path)."""
+    import os
+
+    from sug_tpu.models.precision import compute_dtype
+
+    mode = os.environ.get("SUG_FUSED_VECATTN", "auto")
+    shapes_ok = n % 128 == 0 and d_model % 128 == 0
+    if mode == "0":
+        return "xla"
+    if mode == "interpret":
+        return "interpret" if shapes_ok else "xla"
+    if mode == "1":
+        return "fused" if shapes_ok else "xla"
+    return (
+        "fused"
+        if shapes_ok
+        and jax.default_backend() == "tpu"
+        and compute_dtype() == jnp.bfloat16
+        else "xla"
+    )
+
+
 class VectorAttentionBlock(nn.Module):
     """TransformerBlock (model/Ptran_transformer.py:9-46): d_points <->
     d_model projections around vector attention with relative-position
-    encodings."""
+    encodings.
+
+    On TPU under the bf16 policy the whole attention body (kNN, neighbor
+    gathers, both per-edge MLPs, per-channel softmax, weighted sum) runs in
+    one fused Pallas kernel (ops/vector_attention_pallas.py) that never
+    materializes the (B, N, k, d_model) edge tensors; elsewhere the XLA
+    formulation below is used. Param trees are identical in both modes."""
 
     d_points: int
     d_model: int = 512
@@ -41,20 +96,35 @@ class VectorAttentionBlock(nn.Module):
     def __call__(self, xyz: jax.Array, features: jax.Array) -> jax.Array:
         from sug_tpu.models.precision import compute_dtype
 
-        # neighbor selection on raw f32 xyz — unaffected by the bf16 policy
-        knn_idx = knn_indices(xyz, min(self.k, xyz.shape[1]))  # (B, N, k)
-        knn_xyz = index_points(xyz, knn_idx)  # (B, N, k, 3)
-
         dt = compute_dtype()
         pre = features
         x = nn.Dense(self.d_model, name="fc1", dtype=dt)(features)
         q = nn.Dense(self.d_model, use_bias=False, name="w_qs", dtype=dt)(x)
-        k = index_points(
-            nn.Dense(self.d_model, use_bias=False, name="w_ks", dtype=dt)(x), knn_idx
-        )
-        v = index_points(
-            nn.Dense(self.d_model, use_bias=False, name="w_vs", dtype=dt)(x), knn_idx
-        )
+        key_full = nn.Dense(self.d_model, use_bias=False, name="w_ks", dtype=dt)(x)
+        val_full = nn.Dense(self.d_model, use_bias=False, name="w_vs", dtype=dt)(x)
+
+        mode = _vecattn_mode(xyz.shape[1], self.d_model)
+        if mode in ("fused", "interpret"):
+            from sug_tpu.ops.vector_attention_pallas import fused_vector_attention
+
+            C = xyz.shape[-1]
+            wd1, bd1 = _DenseParams(self.d_model, C, name="fc_delta1")()
+            wd2, bd2 = _DenseParams(self.d_model, self.d_model, name="fc_delta2")()
+            wg1, bg1 = _DenseParams(self.d_model, self.d_model, name="fc_gamma1")()
+            wg2, bg2 = _DenseParams(self.d_model, self.d_model, name="fc_gamma2")()
+            res = fused_vector_attention(
+                xyz, q, key_full, val_full, wd1, bd1, wd2, bd2, wg1, bg1,
+                wg2, bg2, min(self.k, xyz.shape[1]),
+                interpret=(mode == "interpret"),
+            )
+            return nn.Dense(self.d_points, name="fc2")(res) + pre
+
+        # neighbor selection on raw f32 xyz — unaffected by the bf16 policy
+        knn_idx = knn_indices(xyz, min(self.k, xyz.shape[1]))  # (B, N, k)
+        knn_xyz = index_points(xyz, knn_idx)  # (B, N, k, 3)
+
+        k = index_points(key_full, knn_idx)
+        v = index_points(val_full, knn_idx)
 
         delta = xyz[:, :, None, :] - knn_xyz  # (B, N, k, 3)
         if dt is not None:
@@ -139,8 +209,16 @@ class PointTransformerBackbone(nn.Module):
 
             B, N = pc.shape[0], pc.shape[1]
             bytes_per = 2 if compute_dtype() is not None else 4
-            # ~7 live (B, sum_l N_l ~= 1.34N, k, d_model) per-edge tensors
-            est = 7 * B * int(1.34 * N) * self.nneighbor * self.transformer_dim * bytes_per
+            # ~7 live (B, N_l, k, d_model) per-edge tensors per attention
+            # level — but levels served by the fused Pallas kernel never
+            # materialize them (the kernel saves only (B, N_l, D) rows), so
+            # only XLA-path levels count toward the footprint.
+            n_unfused = sum(
+                nl
+                for nl in (max(N // 4**i, 1) for i in range(self.nblocks + 1))
+                if _vecattn_mode(nl, self.transformer_dim) == "xla"
+            )
+            est = 7 * B * n_unfused * self.nneighbor * self.transformer_dim * bytes_per
             mode = "none" if est < 11e9 else "full"
         if mode == "none":
             AttnBlock = VectorAttentionBlock
