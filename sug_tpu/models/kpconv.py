@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from sug_tpu.models.kernel_points import load_kernels
+from sug_tpu.models.precision import compute_dtype
 from sug_tpu.ops.geometry import farthest_point_sample, index_points, square_distance
 
 # ---------------------------------------------------------------------------
@@ -339,8 +340,17 @@ class KPConvOp(nn.Module):
         # shadow semantics: padded neighbor slots contribute nothing
         all_weights = all_weights * neighb_mask[..., None]
 
+        # PRECISION: bf16 — geometry (sq_d, influence) stays f32 above;
+        # the VALUE side (neighbor-feature gather + the two contractions,
+        # the step's dominant HBM traffic: (B,Q,k,Cin) and (B,Q,k,K)) runs
+        # in bf16 with f32 accumulation, mirroring the EdgeConv kernel's
+        # values_bf16 mode.
+        dt = compute_dtype()
+        if dt is not None:
+            all_weights = all_weights.astype(dt)
+            x = x.astype(dt)
         neighb_x = index_points(x, neighb_idx)  # (B, Q, k, Cin)
-        neighb_x = neighb_x * neighb_mask[..., None]
+        neighb_x = neighb_x * neighb_mask[..., None].astype(neighb_x.dtype)
 
         # influence-weighted neighbor features: (B, Q, K, Cin)
         weighted = jnp.einsum(
@@ -355,6 +365,8 @@ class KPConvOp(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (K, in_ch, self.out_channels),
         )
+        if dt is not None:
+            weighted, w = weighted.astype(dt), w.astype(dt)
         out = jnp.einsum(
             "bqpc,pco->bqo", weighted, w, preferred_element_type=jnp.float32
         )
@@ -378,6 +390,9 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        # statistics in f32 regardless of the bf16 policy (mirrors flax
+        # BatchNorm); output is f32 — the next Dense re-casts to the policy
+        x = x.astype(jnp.float32)
         if mask is None:
             mean = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.var(x, axis=1, keepdims=True)
@@ -398,7 +413,7 @@ class UnaryBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        x = nn.Dense(self.out_dim, use_bias=False)(x)
+        x = nn.Dense(self.out_dim, use_bias=False, dtype=compute_dtype())(x)
         x = InstanceNorm()(x, mask)
         if not self.no_relu:
             x = nn.leaky_relu(x, 0.1)
@@ -460,9 +475,13 @@ class ResnetBottleneckBlock(nn.Module):
 
         if self.strided:
             # max-pool features over the stride neighborhood; padded slots
-            # contribute zeros (reference max_pool shadow semantics)
-            gathered = index_points(x, idx) * mask[..., None]
-            shortcut = jnp.max(gathered, axis=2)
+            # contribute zeros (reference max_pool shadow semantics).
+            # bf16 policy: gather values at half width (max is exact in any
+            # precision; inputs are bf16-rounded either way)
+            dt = compute_dtype()
+            xv = x.astype(dt) if dt is not None else x
+            gathered = index_points(xv, idx) * mask[..., None].astype(xv.dtype)
+            shortcut = jnp.max(gathered, axis=2).astype(jnp.float32)
         else:
             shortcut = x
         if shortcut.shape[-1] != self.out_dim:

@@ -326,6 +326,91 @@ def _bwd_kernel(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
     dv_ref[:] = dv
 
 
+def _bwd_kernel_batched(idx_ref, u_ref, v_ref, amax_ref, amin_ref,
+                        damax_ref, damin_ref, ds1_ref, ds2_ref,
+                        du_ref, dv_ref, *, k: int, window: int,
+                        values_bf16: bool = False):
+    """Two-stage batched backward: instead of k sequential one-hot gather
+    matmuls (each streaming the full (N, F) u through the MXU), build a
+    whole window's one-hots as ONE (w*TILE, N) block and do ONE gather
+    matmul -> (w*TILE, F), run the first-hit max/min selection chain on the
+    materialized slices (pure VPU, off the MXU critical path), then ONE
+    scatter matmul for dU. Same FLOPs as the loop kernel, ~w x fewer passes
+    over u — the MXU-occupancy fix docs/PERF.md called the 'two-stage
+    pipeline'. Gathers are exact (one-hot rows are exactly bf16); dU differs
+    from the loop kernel only in f32 summation order inside the matmul."""
+    t = pl.program_id(1)
+
+    if values_bf16:
+        u_hi, u_lo = u_ref[:].astype(jnp.bfloat16), None
+    else:
+        u_hi, u_lo = _split_bf16(u_ref[:])  # (N, F)
+    v = v_ref[:]  # (TILE, F)
+    amax = amax_ref[:]
+    amin = amin_ref[:]
+    damax = damax_ref[:]
+    damin = damin_ref[:]
+    ds1 = ds1_ref[:]
+    ds2 = ds2_ref[:]
+    N, F = u_hi.shape
+
+    @pl.when(t == 0)
+    def _():
+        du_ref[:] = jnp.zeros(du_ref.shape, du_ref.dtype)
+
+    idx = idx_ref[:]  # (k, TILE)
+    k_num = idx.shape[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_num, TILE), 0)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
+    dn = (((0,), (0,)), ((), ()))
+
+    assigned_max = jnp.zeros_like(v)
+    assigned_min = jnp.zeros_like(v)
+    dv = jnp.zeros_like(v)
+    du_acc = jnp.zeros((N, F), jnp.float32)
+    for w0 in range(0, k, window):
+        w = min(window, k - w0)
+        ohs = []
+        for j in range(w0, w0 + w):
+            row = jnp.sum(
+                jnp.where(iota_k == j, idx, 0), axis=0, keepdims=True
+            )  # (1, TILE)
+            ohs.append((iota_n == row.T).astype(jnp.float32))  # (TILE, N)
+        oh = jnp.concatenate(ohs, axis=0)  # (w*TILE, N)
+        if u_lo is None:
+            ohb = oh.astype(jnp.bfloat16)
+            G = jnp.dot(ohb, u_hi, preferred_element_type=jnp.float32)
+        else:
+            G = jnp.dot(oh, u_hi, preferred_element_type=jnp.float32) + jnp.dot(
+                oh, u_lo, preferred_element_type=jnp.float32
+            )  # (w*TILE, F)
+        das = []
+        for i in range(w):
+            a = jax.lax.slice(G, (i * TILE, 0), ((i + 1) * TILE, F)) + v
+            selmax = jnp.where(a == amax, 1.0, 0.0) * (1.0 - assigned_max)
+            selmin = jnp.where(a == amin, 1.0, 0.0) * (1.0 - assigned_min)
+            da = damax * selmax + damin * selmin + ds1 + 2.0 * a * ds2
+            assigned_max = jnp.maximum(assigned_max, selmax)
+            assigned_min = jnp.maximum(assigned_min, selmin)
+            dv = dv + da
+            das.append(da)
+        da_flat = jnp.concatenate(das, axis=0)  # (w*TILE, F)
+        if u_lo is None:
+            du_acc = du_acc + jax.lax.dot_general(
+                ohb, da_flat.astype(jnp.bfloat16), dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            da_hi, da_lo = _split_bf16(da_flat)
+            du_acc = (
+                du_acc
+                + jax.lax.dot_general(oh, da_hi, dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(oh, da_lo, dn, preferred_element_type=jnp.float32)
+            )
+    du_ref[:] += du_acc
+    dv_ref[:] = dv
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -414,14 +499,25 @@ def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
     n_tiles = S // TILE
     grid = (B, n_tiles)
 
-    # window of python-unrolled iterations inside the fori body (see
-    # _bwd_kernel); 5 divides the k=20 EdgeConv neighborhood. Falls back to
-    # the largest divisor <= requested, or 1.
-    want = int(_os.environ.get("SUG_EDGECONV_BWD_CHUNK", "5"))
-    chunk = next((c for c in range(min(want, k), 0, -1) if k % c == 0), 1)
-    kernel = functools.partial(
-        _bwd_kernel, k=k, unroll=chunk, values_bf16=values_bf16
-    )
+    # Two backward kernels (SUG_EDGECONV_BWD_MODE):
+    #   batched (default) — two-stage windowed gather/scatter (one big MXU
+    #     matmul per window instead of one per neighbor);
+    #   loop — the chunked-unroll fori kernel (SUG_EDGECONV_BWD_CHUNK window).
+    mode = _os.environ.get("SUG_EDGECONV_BWD_MODE", "batched")
+    if mode == "batched":
+        # window bounds the (w*TILE, N) one-hot block (~10MB f32 at w=20,
+        # N=1024); k<=32 fits in one window, larger k (SA-node 64) splits
+        want = int(_os.environ.get("SUG_EDGECONV_BWD_WINDOW", "32"))
+        kernel = functools.partial(
+            _bwd_kernel_batched, k=k, window=min(want, k),
+            values_bf16=values_bf16,
+        )
+    else:
+        want = int(_os.environ.get("SUG_EDGECONV_BWD_CHUNK", "5"))
+        chunk = next((c for c in range(min(want, k), 0, -1) if k % c == 0), 1)
+        kernel = functools.partial(
+            _bwd_kernel, k=k, unroll=chunk, values_bf16=values_bf16
+        )
     tile_spec = lambda d: pl.BlockSpec(  # noqa: E731
         (1, TILE, d), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
@@ -442,6 +538,12 @@ def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
             jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # dv (queries)
         ),
         interpret=interpret,
+        # the batched kernel's windowed one-hot block exceeds the compiler's
+        # default 16MB scoped-vmem budget; v5e has 128MB physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_os.environ.get("SUG_EDGECONV_VMEM_MB", "96"))
+            * 1024 * 1024
+        ),
     )(idx_t, u, v, amax, amin, damax, damin, ds1, ds2)
     if Fp != F:
         du, dv = du[..., :F], dv[..., :F]

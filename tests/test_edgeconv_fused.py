@@ -77,6 +77,39 @@ class TestFusedKernelInterpret:
         np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
 
 
+class TestBackwardModes:
+    """Both backward kernels (SUG_EDGECONV_BWD_MODE=loop|batched) must produce
+    reference gradients; window=3 with k=5 forces a 3+2 window split in the
+    batched kernel (exercises cross-window first-hit max/min carry)."""
+
+    @pytest.mark.parametrize(
+        "mode,window", [("loop", None), ("batched", "3"), ("batched", "8")]
+    )
+    def test_mode_gradients_match_reference(self, monkeypatch, mode, window):
+        monkeypatch.setenv("SUG_EDGECONV_BWD_MODE", mode)
+        if window is not None:
+            monkeypatch.setenv("SUG_EDGECONV_BWD_WINDOW", window)
+        x, u, v = _data(seed=7)
+
+        def loss(fn):
+            def inner(u, v):
+                amax, amin, s1, s2, _ = fn(u, v)
+                return jnp.sum(0.9 * amax - 1.1 * amin + 0.02 * s1 + 0.003 * s2)
+
+            return inner
+
+        gf = jax.grad(
+            loss(lambda u, v: fused_edgeconv_reduce(x, u, v, 5, True)), argnums=(0, 1)
+        )(u, v)
+        gr = jax.grad(
+            loss(lambda u, v: edgeconv_reduce_reference(x, u, v, 5)), argnums=(0, 1)
+        )(u, v)
+        for name, a, b in zip(("du", "dv"), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+            )
+
+
 class TestEdgeConvBlockEquivalence:
     """_EdgeConvBlock (fused formulation) == reference computation."""
 
