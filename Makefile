@@ -10,8 +10,8 @@ all: native
 
 native: sug_tpu/native/libsugloader.so
 
-sug_tpu/native/libsugloader.so: sug_tpu/native/loader.cpp
-	$(CXX) $(CXXFLAGS) $< -o $@
+sug_tpu/native/libsugloader.so: sug_tpu/native/loader.cpp sug_tpu/native/pointops.cpp
+	$(CXX) $(CXXFLAGS) $^ -o $@
 
 test:
 	python -m pytest tests/ -x -q

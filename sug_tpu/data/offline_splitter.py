@@ -208,8 +208,24 @@ def _icp_fitness_batch(
     return jax.vmap(single)(clouds)
 
 
+def _use_native_pointops() -> bool:
+    """The splitter is offline preprocessing: default to the native C++
+    FPS/ICP (sug_tpu/native/pointops.cpp) when built, so splitting never
+    attaches to the TPU (on the dev box a second TPU process would block the
+    trainer). SUG_NATIVE_SPLITTER=0 forces the jax path."""
+    if os.environ.get("SUG_NATIVE_SPLITTER", "1") != "1":
+        return False
+    from sug_tpu import native
+
+    return native.pointops_available()
+
+
 def icp_distance_batch(anchor: np.ndarray, clouds: np.ndarray) -> np.ndarray:
     """1 - fitness for each cloud (dataset_splitter icp_distance)."""
+    if _use_native_pointops():
+        from sug_tpu import native
+
+        return 1.0 - native.icp_fitness_native(anchor, clouds)
     return 1.0 - np.asarray(
         _icp_fitness_batch(jnp.asarray(anchor), jnp.asarray(clouds))
     )
@@ -238,7 +254,12 @@ def split_dataset_geometric(
 
         normed = normalize_pc_np(np.asarray(cls_pts[..., :3], dtype=np.float32))
         n_fps = min(fps_points, normed.shape[1])
-        fps_idx = np.asarray(farthest_point_sample(jnp.asarray(normed), n_fps))
+        if _use_native_pointops():
+            from sug_tpu import native
+
+            fps_idx = native.fps_native(normed, n_fps)
+        else:
+            fps_idx = np.asarray(farthest_point_sample(jnp.asarray(normed), n_fps))
         processed = np.take_along_axis(normed, fps_idx[..., None], axis=1)
 
         cls_cluster_labels = np.ones(M)

@@ -12,6 +12,7 @@ from sug_tpu.engine.checkpoint import (
     save_checkpoint,
     restore_checkpoint,
     latest_checkpoint,
+    wait_for_saves,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",
+    "wait_for_saves",
 ]

@@ -27,7 +27,11 @@ from sug_tpu.data import (
     create_splitted_dataset,
     DATASET_LIST,
 )
-from sug_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+from sug_tpu.engine.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    wait_for_saves,
+)
 from sug_tpu.engine.dg_trainer import DGTrainer, make_criterion
 from sug_tpu.engine.evaluation import Evaluator, eval_worker
 from sug_tpu.engine.optim import cosine_lr, dis_lr_schedule
@@ -362,6 +366,7 @@ def run_dg_training(args, cfg, num_points: int = 1024):
             )
             logger.info(f"Save current ckpt to {path}")
         if preempted["flag"]:
+            wait_for_saves()  # the process is about to exit: commit the write
             logger.info(
                 "Preemption signal received — checkpoint saved, exiting "
                 f"(resume with --resume {ckpt_dir}/...)"
@@ -374,5 +379,6 @@ def run_dg_training(args, cfg, num_points: int = 1024):
         )
         logger.info("****************Finished One Epoch****************")
 
+    wait_for_saves()  # flush any in-flight async checkpoint write
     writer.close()
     return best_test_acc

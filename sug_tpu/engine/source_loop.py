@@ -16,7 +16,11 @@ import jax
 import numpy as np
 
 from sug_tpu.data import BatchIterator, create_single_dataset, DATASET_LIST
-from sug_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+from sug_tpu.engine.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    wait_for_saves,
+)
 from sug_tpu.engine.evaluation import Evaluator, eval_worker
 from sug_tpu.engine.optim import cosine_lr
 from sug_tpu.engine.source_trainer import SourceTrainer
@@ -201,5 +205,6 @@ def run_source_training(args, cfg, num_points: int = 1024):
             "The {} epoch takes {:.0f}m {:.0f}s".format(epoch, dt // 60, dt % 60)
         )
 
+    wait_for_saves()  # flush any in-flight async checkpoint write
     writer.close()
     return best_test_acc

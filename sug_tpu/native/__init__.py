@@ -22,10 +22,13 @@ _LIB = None
 
 
 def _build() -> bool:
-    src = os.path.join(_THIS_DIR, "loader.cpp")
+    srcs = [
+        os.path.join(_THIS_DIR, "loader.cpp"),
+        os.path.join(_THIS_DIR, "pointops.cpp"),
+    ]
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        src, "-o", _SO_PATH,
+        *srcs, "-o", _SO_PATH,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -67,6 +70,19 @@ def _load():
     lib.sug_iter_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.sug_iter_reset.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sug_iter_destroy.argtypes = [ctypes.c_void_p]
+    # point ops (pointops.cpp) — absent from .so files built before round 3
+    try:
+        lib.sug_fps.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.sug_icp_fitness.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_float, ctypes.c_void_p,
+        ]
+        lib._has_pointops = True
+    except AttributeError:
+        lib._has_pointops = False
     _LIB = lib
     return lib
 
@@ -199,3 +215,56 @@ class NativeBatchIterator:
         if getattr(self, "_h", None):
             self._lib.sug_iter_destroy(self._h)
             self._h = None
+
+
+# ---------------------------------------------------------------------------
+# native point ops (pointops.cpp): host-path FPS / ICP for the offline
+# splitter, so preprocessing never has to attach to the TPU
+# ---------------------------------------------------------------------------
+
+
+def pointops_available() -> bool:
+    lib = _load()
+    return bool(lib is not None and getattr(lib, "_has_pointops", False))
+
+
+def fps_native(pts: np.ndarray, npoint: int, start_idx=None) -> np.ndarray:
+    """Farthest-point sampling on the host: (B, N, 3) f32 -> (B, npoint) i32.
+    Bit-exact vs ops.geometry.farthest_point_sample (same f32 update order,
+    first-index argmax tie-break)."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, dtype=np.float32)
+    B, N, _ = pts.shape
+    out = np.empty((B, npoint), dtype=np.int32)
+    start = (
+        None
+        if start_idx is None
+        else np.ascontiguousarray(start_idx, dtype=np.int32)
+    )
+    lib.sug_fps(
+        pts.ctypes.data_as(ctypes.c_void_p), B, N, npoint,
+        start.ctypes.data_as(ctypes.c_void_p) if start is not None else None,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def icp_fitness_native(
+    anchor: np.ndarray, clouds: np.ndarray, iters: int = 15,
+    max_corr: float = 0.15,
+) -> np.ndarray:
+    """Batched point-to-point ICP inlier fraction on the host: align anchor
+    (P, 3) onto each of clouds (M, P, 3); mirrors the jax
+    offline_splitter._icp_fitness_batch (fixed Kabsch iterations)."""
+    lib = _load()
+    anchor = np.ascontiguousarray(anchor, dtype=np.float32)
+    clouds = np.ascontiguousarray(clouds, dtype=np.float32)
+    M, P, _ = clouds.shape
+    out = np.empty((M,), dtype=np.float32)
+    lib.sug_icp_fitness(
+        anchor.ctypes.data_as(ctypes.c_void_p),
+        clouds.ctypes.data_as(ctypes.c_void_p),
+        M, P, iters, max_corr,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -17,7 +17,12 @@ from sug_tpu.engine import (
     dis_lr_schedule,
     param_group_masks,
 )
-from sug_tpu.engine.checkpoint import save_checkpoint, restore_checkpoint, latest_checkpoint
+from sug_tpu.engine.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    latest_checkpoint,
+    wait_for_saves,
+)
 from sug_tpu.utils.config import ConfigDict
 
 B, N = 8, 128
@@ -202,7 +207,10 @@ class TestEvaluatorAndCheckpoint:
         label = rng.integers(0, 10, 4)
         state, _ = trainer.train_step(state, data, label, jax.random.key(0), 1e-3)
 
+        # async default: the write commits in the background; wait_for_saves
+        # (also called inside restore_checkpoint) makes it durable
         path = save_checkpoint(str(tmp_path), "modelnet", 1, state, max_ckpt_save_num=2)
+        wait_for_saves()
         assert os.path.exists(path)
 
         fresh = trainer.init_state(seed=7, batch_size=4, num_points=N)
@@ -220,3 +228,17 @@ class TestEvaluatorAndCheckpoint:
         remaining = sorted(d for d in os.listdir(tmp_path) if "_checkpoint_" in d)
         assert len(remaining) == 2
         assert latest_checkpoint(str(tmp_path)).endswith("epoch_4")
+
+    def test_async_save_restore_without_explicit_wait(self, tmp_path, rng):
+        """restore_checkpoint must flush an in-flight async save of the same
+        path before reading (no sleep/wait in between here)."""
+        trainer = SourceTrainer(model_name="Pointnet")
+        state = trainer.init_state(seed=3, batch_size=4, num_points=N)
+        path = save_checkpoint(str(tmp_path), "m", 9, state)  # async default
+        fresh = trainer.init_state(seed=11, batch_size=4, num_points=N)
+        restored = restore_checkpoint(path, fresh)
+        assert restored["epoch"] == 9
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(restored["state"].params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -134,3 +134,83 @@ class TestNativeIterator:
             assert len(batches) == 6
             labels_seen = sorted(np.concatenate([l for _, l in batches]).tolist())
             assert labels_seen == sorted(pds.labels.tolist())
+
+
+class TestNativePointOps:
+    """Native FPS/ICP (pointops.cpp) vs the jax implementations they replace
+    on the offline splitter's host path."""
+
+    pytestmark = pytest.mark.skipif(
+        not native.pointops_available(), reason="pointops not in the built .so"
+    )
+
+    def test_fps_bit_exact_vs_jax(self):
+        import jax.numpy as jnp
+
+        from sug_tpu.ops.geometry import farthest_point_sample
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(5, 200, 3)).astype(np.float32)
+        got = native.fps_native(pts, 50)
+        ref = np.asarray(farthest_point_sample(jnp.asarray(pts), 50))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_fps_start_idx_and_duplicates(self):
+        """Duplicate points force argmax ties — first index must win, and a
+        nonzero start index must be honored."""
+        import jax.numpy as jnp
+
+        from sug_tpu.ops.geometry import farthest_point_sample
+
+        rng = np.random.default_rng(1)
+        base = rng.normal(size=(2, 32, 3)).astype(np.float32)
+        pts = np.concatenate([base, base], axis=1)  # every point duplicated
+        start = np.array([5, 17], dtype=np.int32)
+        got = native.fps_native(pts, 16, start_idx=start)
+        ref = np.asarray(
+            farthest_point_sample(jnp.asarray(pts), 16, jnp.asarray(start))
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_icp_recovers_rotated_cloud(self):
+        """Aligning a cloud onto a rotated copy of itself must give ~1.0
+        fitness; onto an unrelated cloud, much lower."""
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(128, 3)).astype(np.float32)
+        a /= np.abs(a).max()
+        th = 0.3
+        R = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+            dtype=np.float32,
+        )
+        other = rng.normal(size=(128, 3)).astype(np.float32) * 3.0 + 5.0
+        clouds = np.stack([a @ R.T, other])
+        fit = native.icp_fitness_native(a, clouds, iters=25)
+        assert fit[0] > 0.95
+        assert fit[1] < fit[0]
+
+    def test_icp_matches_jax_fitness(self):
+        from sug_tpu.data.offline_splitter import _icp_fitness_batch
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        anchor = rng.normal(size=(64, 3)).astype(np.float32)
+        clouds = rng.normal(size=(6, 64, 3)).astype(np.float32)
+        clouds[0] = anchor  # exact match -> fitness 1.0 in both
+        got = native.icp_fitness_native(anchor, clouds)
+        ref = np.asarray(_icp_fitness_batch(jnp.asarray(anchor), jnp.asarray(clouds)))
+        assert got[0] == ref[0] == 1.0
+        # fixed-iteration ICP from different SVD precisions can settle in
+        # different local minima on unstructured noise; require agreement on
+        # the majority of clouds and bounded disagreement elsewhere
+        close = np.abs(got - ref) < 0.1
+        assert close.sum() >= 4, (got, ref)
+
+    def test_splitter_uses_native_path(self, monkeypatch):
+        from sug_tpu.data import offline_splitter
+
+        monkeypatch.setenv("SUG_NATIVE_SPLITTER", "1")
+        assert offline_splitter._use_native_pointops()
+        monkeypatch.setenv("SUG_NATIVE_SPLITTER", "0")
+        assert not offline_splitter._use_native_pointops()
