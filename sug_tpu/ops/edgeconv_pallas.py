@@ -216,6 +216,74 @@ def _fwd_kernel(x_tile_ref, xb_ref, u_ref, v_ref,
     idx_ref[:] = idx_acc
 
 
+def _fwd_kernel_batched(x_tile_ref, xb_ref, u_ref, v_ref,
+                        amax_ref, amin_ref, s1_ref, s2_ref, idx_ref,
+                        *, k: int, window: int, values_bf16: bool = False):
+    """Two-stage batched forward (mirror of _bwd_kernel_batched): run a
+    window's worth of the sequential argmax selection chain first (pure VPU
+    on the (TILE, N) distance tile), stack the selected one-hots into ONE
+    (w*TILE, N) block, and gather a whole window of neighbors with ONE MXU
+    matmul instead of one per neighbor. Same selection order and f32-split
+    distance math as _fwd_kernel — idx and activations are identical; only
+    the f32 summation order inside the gather matmul differs (and not even
+    that for exact one-hot rows)."""
+    x_tile = x_tile_ref[:]  # (TILE, C)
+    xb = xb_ref[:]  # (N, C)
+    N = xb.shape[0]
+
+    neg_d = 2.0 * _dot_acc(x_tile, xb.T) - jnp.sum(xb * xb, axis=1)[None, :]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE, N), 1)
+    if values_bf16:
+        u_hi, u_lo = u_ref[:].astype(jnp.bfloat16), None
+    else:
+        u_hi, u_lo = _split_bf16(u_ref[:])
+    v = v_ref[:]  # (TILE, F)
+    F = v.shape[1]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, TILE), 0)
+
+    amax = jnp.full_like(v, -jnp.inf)
+    amin = jnp.full_like(v, jnp.inf)
+    s1 = jnp.zeros_like(v)
+    s2 = jnp.zeros_like(v)
+    idx_acc = jnp.zeros((k, TILE), jnp.int32)
+    for w0 in range(0, k, window):
+        w = min(window, k - w0)
+        ohs = []
+        for j in range(w0, w0 + w):
+            rowmax = jnp.max(neg_d, axis=1, keepdims=True)
+            eligible = neg_d == rowmax
+            # lowest index among ties (lax.top_k / torch.topk tie order)
+            j_sel = jnp.min(jnp.where(eligible, iota_n, N), axis=1, keepdims=True)
+            onehot = (iota_n == j_sel).astype(jnp.float32)  # (TILE, N)
+            neg_d = jnp.where(onehot > 0, -jnp.inf, neg_d)
+            idx_acc = jnp.where(
+                iota_k == j, jnp.broadcast_to(j_sel.T, (k, TILE)), idx_acc
+            )
+            ohs.append(onehot)
+        oh = jnp.concatenate(ohs, axis=0)  # (w*TILE, N)
+        if u_lo is None:
+            G = jnp.dot(
+                oh.astype(jnp.bfloat16), u_hi, preferred_element_type=jnp.float32
+            )
+        else:  # exact: one-hot rows are exactly bf16
+            G = jnp.dot(oh, u_hi, preferred_element_type=jnp.float32) + jnp.dot(
+                oh, u_lo, preferred_element_type=jnp.float32
+            )  # (w*TILE, F)
+        for i in range(w):
+            a = jax.lax.slice(G, (i * TILE, 0), ((i + 1) * TILE, F)) + v
+            amax = jnp.maximum(amax, a)
+            amin = jnp.minimum(amin, a)
+            s1 = s1 + a
+            s2 = s2 + a * a
+
+    amax_ref[:] = amax
+    amin_ref[:] = amin
+    s1_ref[:] = s1
+    s2_ref[:] = s2
+    idx_ref[:] = idx_acc
+
+
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
@@ -445,17 +513,37 @@ def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False,
     n_tiles = S // TILE
     grid = (B, n_tiles)
 
-    # full unroll up to k=24 (EdgeConv widths); chunked window beyond (the
-    # SA-node's k=64 would keep 64 (TILE, N) one-hots live and OOM VMEM)
-    if _FWD_UNROLL:
-        fwd_unroll = k if k <= 24 else next(
-            (c for c in range(8, 0, -1) if k % c == 0), 1
+    # Two forward kernels (SUG_EDGECONV_FWD_MODE):
+    #   loop (default) — per-neighbor gather matmuls, full unroll up to k=24
+    #     and a chunked window beyond (SUG_EDGECONV_FWD_UNROLL=0 forces
+    #     unroll=1); the unrolled loop already software-pipelines gathers
+    #     against the next argmax;
+    #   batched — two-stage windowed selection + one gather matmul per
+    #     window, mirroring the backward's winning structure
+    #     (SUG_EDGECONV_FWD_WINDOW bounds the one-hot block). Default stays
+    #     "loop" until the batched variant is measured faster on v5e.
+    fwd_mode = _os.environ.get("SUG_EDGECONV_FWD_MODE", "loop")
+    compiler_params = None
+    if fwd_mode == "batched":
+        want = int(_os.environ.get("SUG_EDGECONV_FWD_WINDOW", "32"))
+        kernel = functools.partial(
+            _fwd_kernel_batched, k=k, window=min(want, k),
+            values_bf16=values_bf16,
+        )
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(_os.environ.get("SUG_EDGECONV_VMEM_MB", "96"))
+            * 1024 * 1024
         )
     else:
-        fwd_unroll = 1
-    kernel = functools.partial(
-        _fwd_kernel, k=k, unroll=fwd_unroll, values_bf16=values_bf16
-    )
+        if _FWD_UNROLL:
+            fwd_unroll = k if k <= 24 else next(
+                (c for c in range(8, 0, -1) if k % c == 0), 1
+            )
+        else:
+            fwd_unroll = 1
+        kernel = functools.partial(
+            _fwd_kernel, k=k, unroll=fwd_unroll, values_bf16=values_bf16
+        )
     out_shape = (
         jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # amax
         jax.ShapeDtypeStruct((B, S, Fp), jnp.float32),  # amin
@@ -479,6 +567,7 @@ def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False,
         ),
         out_shape=out_shape,
         interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
     )(q, kv, u, v)
     if Fp != F:
         amax, amin, s1, s2 = (a[..., :F] for a in (amax, amin, s1, s2))

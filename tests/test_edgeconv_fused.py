@@ -77,6 +77,31 @@ class TestFusedKernelInterpret:
         np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
 
 
+class TestForwardModes:
+    """Both forward kernels (SUG_EDGECONV_FWD_MODE=loop|batched) must produce
+    identical outputs AND identical neighbor indices (the batched kernel runs
+    the same sequential selection chain); window=2 with k=5 forces a 2+2+1
+    window split."""
+
+    @pytest.mark.parametrize(
+        "mode,window", [("loop", None), ("batched", "2"), ("batched", "8")]
+    )
+    def test_mode_matches_reference(self, monkeypatch, mode, window):
+        monkeypatch.setenv("SUG_EDGECONV_FWD_MODE", mode)
+        if window is not None:
+            monkeypatch.setenv("SUG_EDGECONV_FWD_WINDOW", window)
+        x, u, v = _data(seed=9)
+        ref = edgeconv_reduce_reference(x, u, v, 5)
+        got = fused_edgeconv_reduce(x, u, v, 5, True)
+        for name, r, g in zip(("amax", "amin", "s1", "s2"), ref[:4], got[:4]):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5, err_msg=name
+            )
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(got[4]), -1), np.sort(np.asarray(ref[4]), -1)
+        )
+
+
 class TestBackwardModes:
     """Both backward kernels (SUG_EDGECONV_BWD_MODE=loop|batched) must produce
     reference gradients; window=3 with k=5 forces a 3+2 window split in the
