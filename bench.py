@@ -47,6 +47,10 @@ PEAK_FLOPS = {
 }
 
 
+class MethodologyError(RuntimeError):
+    """The timing itself is broken (impossible MFU) — never retried."""
+
+
 def _device_peak():
     import jax
 
@@ -137,7 +141,7 @@ def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
     peak = _device_peak()
     mfu = 100.0 * tflops * 1e12 / peak if peak else None
     if mfu is not None and mfu > 100.0:
-        raise RuntimeError(
+        raise MethodologyError(
             f"implied MFU {mfu:.0f}% > 100% — timing is broken "
             f"({dt*1e3:.2f} ms/step for {flops_per_step/1e12:.2f} TFLOP); "
             "refusing to report a physically impossible throughput"
@@ -184,6 +188,27 @@ def _load_baseline():
     return None, None
 
 
+def measure_with_retry(attempts: int = 3, wait_s: float = 120.0, **kw) -> dict:
+    """The axon remote-compile tunnel occasionally drops mid-run (observed:
+    'Connection refused' on /remote_compile after 40 min of benching) and
+    usually comes back; retry transient runtime failures so a one-off outage
+    doesn't zero out a round's benchmark artifact."""
+    import sys
+
+    last = None
+    for i in range(attempts):
+        try:
+            return measure(**kw)
+        except MethodologyError:
+            raise  # the MFU sanity gate — never retry a methodology failure
+        except Exception as e:  # noqa: BLE001 — tunnel/runtime errors
+            last = e
+            print(f"measure attempt {i+1}/{attempts} failed: {e}", file=sys.stderr)
+            if i + 1 < attempts:
+                time.sleep(wait_s)
+    raise last
+
+
 def main():
     import sys
 
@@ -194,14 +219,14 @@ def main():
             ("Pointnet", 64), ("Pointnet2", 64), ("DGCNN", 64),
             ("PTran", 32), ("KPConv", 16),
         ):
-            r = measure(model_name=model, batch=batch)
+            r = measure_with_retry(model_name=model, batch=batch)
             mfu = f", {r['mfu_pct']:.1f}% MFU" if r["mfu_pct"] is not None else ""
             print(
                 f"{model} (B={batch}+{batch}): {r['clouds_per_sec']:.0f} clouds/sec/chip "
                 f"({r['ms_per_step']:.1f} ms/step, {r['tflops']:.1f} TFLOP/s{mfu})",
                 file=sys.stderr,
             )
-    r32 = measure()
+    r32 = measure_with_retry()
     # HEADLINE = the PRECISION: bf16 mixed-precision configuration (same
     # model/losses; backbone compute in bf16, f32 params/BN-stats/neighbor-
     # selection/softmax/losses, bf16 value gathers + fused attention in the
@@ -212,7 +237,7 @@ def main():
 
     try:
         set_compute_dtype("bf16")
-        r = measure()
+        r = measure_with_retry()
         extra = {
             "f32_clouds_per_sec": round(r32["clouds_per_sec"], 2),
             "f32_ms_per_step": round(r32["ms_per_step"], 2),
