@@ -75,3 +75,57 @@ def test_native_iterator_multi_epoch(tmp_path, rng):
         batches = list(it)
         assert len(batches) == 3
         assert all(b[0].shape == (8, 16, 3) for b in batches)
+
+
+class TestBenchRetry:
+    """bench.measure_with_retry: transient tunnel errors retried, the
+    MFU-sanity MethodologyError never (a broken timing must not be retried
+    into a 'success')."""
+
+    def _bench(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_transient_errors_retried(self, monkeypatch):
+        bench = self._bench()
+        calls = {"n": 0}
+
+        def flaky(**kw):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise ValueError("tunnel down")
+            return {"ok": True}
+
+        monkeypatch.setattr(bench, "measure", flaky)
+        assert bench.measure_with_retry(attempts=3, wait_s=0.0) == {"ok": True}
+        assert calls["n"] == 3
+
+    def test_methodology_error_propagates_immediately(self, monkeypatch):
+        bench = self._bench()
+        calls = {"n": 0}
+
+        def gate(**kw):
+            calls["n"] += 1
+            raise bench.MethodologyError("implied MFU 230%")
+
+        monkeypatch.setattr(bench, "measure", gate)
+        with pytest.raises(bench.MethodologyError):
+            bench.measure_with_retry(attempts=3, wait_s=0.0)
+        assert calls["n"] == 1
+
+    def test_exhausted_retries_raise_last_error(self, monkeypatch):
+        bench = self._bench()
+
+        def dead(**kw):
+            raise ConnectionError("refused")
+
+        monkeypatch.setattr(bench, "measure", dead)
+        with pytest.raises(ConnectionError):
+            bench.measure_with_retry(attempts=2, wait_s=0.0)
