@@ -112,7 +112,13 @@ def run_source_training(args, cfg, num_points: int = 1024):
         )
         logger.info(f"Warm-started weights from {args.pretrained_model}")
 
-    evaluator = Evaluator(trainer.eval_apply, num_class=num_cls)
+    # eval loss = the trainer's criterion (reference train_source.py:86,159
+    # hardcodes CrossEntropyLoss and hands it to eval — threading the
+    # trainer's criterion is identical there and stays faithful if a custom
+    # criterion is ever configured)
+    evaluator = Evaluator(
+        trainer.eval_apply, num_class=num_cls, criterion=trainer.criterion
+    )
     max_epoch_num = opt_cfg["NUM_EPOCHES"]
     LR = float(opt_cfg["LR"])
     best_test_acc: Dict[str, List] = {k: [0, 0.0] for k in eval_sets}

@@ -198,8 +198,18 @@ def radius_neighbors_masked(
     sqr = square_distance(q_pts, s_pts)
     iota = jnp.arange(Ns, dtype=jnp.int32)
     keys = jnp.where(sqr > radius**2, Ns, iota[None, None, :])
-    neg, _ = jax.lax.top_k(-keys, min(nsample, Ns))
-    idx = -neg
+    kk = min(nsample, Ns)
+    # top-k smallest keys. On TPU approx_max_k at recall 1.0 is EXACT and
+    # hits the PartialReduce hardware op instead of a full sort (same trick
+    # as ops.geometry._topk_neg_dist; keys <= Ns <= a few thousand are
+    # exactly representable in f32). Selection order may differ from
+    # lax.top_k's sorted order — irrelevant to the symmetric sums downstream.
+    neg_keys = -keys.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        vals, _ = jax.lax.approx_max_k(neg_keys, kk, recall_target=1.0)
+    else:
+        vals, _ = jax.lax.top_k(neg_keys, kk)
+    idx = (-vals).astype(jnp.int32)
     mask = (idx < Ns).astype(jnp.float32)
     return jnp.minimum(idx, Ns - 1), mask
 
@@ -303,16 +313,19 @@ class KPConvOp(nn.Module):
             )
             min_d2 = jnp.min(masked_sq, axis=2)  # (B, Q, K)
             if q_mask is not None:
-                # grid-pyramid pad queries: exclude their (garbage, huge)
-                # distances from the fitting/repulsion regularizers
+                # grid-pyramid pad queries: zero their (garbage, huge)
+                # distances AND sow the mask itself so
+                # p2p_fitting_regularizer can take a true masked MEAN —
+                # multiplying alone would deflate the fitting mean with
+                # injected zeros and collapse pad rows' kernel points onto
+                # each other (counted as K-1 overlapping pairs by the
+                # repulsive term).
                 min_d2 = min_d2 * q_mask[..., None]
-                deformed_kp_reg = deformed_kp * q_mask[..., None, None]
-            else:
-                deformed_kp_reg = deformed_kp
+                self.sow("regularizers", "q_mask", q_mask)
             self.sow("regularizers", "min_d2_over_ext2",
                      min_d2 / (self.kp_extent**2))
             self.sow("regularizers", "deformed_kp_over_ext",
-                     deformed_kp_reg / self.kp_extent)
+                     deformed_kp / self.kp_extent)
 
         if self.influence == "constant":
             all_weights = jnp.ones_like(sq_d)
@@ -658,28 +671,60 @@ def p2p_fitting_regularizer(sown: dict, deform_fitting_power: float = 1.0,
                             repulse_extent: float = 1.2):
     """Fitting + repulsive losses over deformable layers' sown tensors
     (reference model/KPConv_model.py:282-315). ``sown`` is the
-    'regularizers' collection from Module.apply(..., mutable=...)."""
+    'regularizers' collection from Module.apply(..., mutable=...).
+
+    When a layer also sowed a ``q_mask`` (grid-pyramid pad queries), both
+    terms are TRUE masked means over valid rows — the reference computes
+    them over real points only (its clouds are packed, never padded);
+    averaging in pad rows would deflate the fitting term and count each pad
+    row's (garbage) kernel points as overlapping pairs in the repulsion."""
     fitting = 0.0
     repulsive = 0.0
-    leaves = jax.tree_util.tree_leaves_with_path(sown)
-    for path, value in leaves:
-        name = str(path[-2].key) if len(path) >= 2 else ""
-        if "min_d2_over_ext2" in str(path):
-            fitting = fitting + jnp.mean(jnp.abs(value))
-        elif "deformed_kp_over_ext" in str(path):
-            kp = value  # (B, Q, K, 3)
+    # group each deformable layer's sown leaves by module path + sow index so
+    # its q_mask pairs with its tensors
+    groups: dict = {}
+    for path, value in jax.tree_util.tree_leaves_with_path(sown):
+        if len(path) >= 2:
+            name = str(path[-2].key) if hasattr(path[-2], "key") else str(path[-2])
+            gkey = tuple(str(p) for p in path[:-2]) + (str(path[-1]),)
+        else:
+            name, gkey = str(path), ()
+        groups.setdefault(gkey, {})[name] = value
+    for group in groups.values():
+        qm = group.get("q_mask")  # (B, Q) or None
+        min_d2 = group.get("min_d2_over_ext2")
+        kp = group.get("deformed_kp_over_ext")
+        if min_d2 is not None:
+            if qm is None:
+                fitting = fitting + jnp.mean(jnp.abs(min_d2))
+            else:
+                K = min_d2.shape[-1]
+                denom = jnp.maximum(jnp.sum(qm), 1.0) * K
+                fitting = fitting + jnp.sum(jnp.abs(min_d2)) / denom
+        if kp is not None:  # (B, Q, K, 3)
             K = kp.shape[-2]
+            # clamp before sqrt: the diagonal is exactly 0 and sqrt's grad
+            # there is inf — the eye-masked where would turn the zero
+            # cotangent into 0*inf = NaN
             d = jnp.sqrt(
-                jnp.sum(
-                    (kp[..., :, None, :] - jax.lax.stop_gradient(kp)[..., None, :, :])
-                    ** 2,
-                    axis=-1,
+                jnp.maximum(
+                    jnp.sum(
+                        (kp[..., :, None, :]
+                         - jax.lax.stop_gradient(kp)[..., None, :, :]) ** 2,
+                        axis=-1,
+                    ),
+                    1e-12,
                 )
             )  # (B, Q, K, K)
             eye = jnp.eye(K, dtype=bool)
             clipped = jnp.minimum(d - repulse_extent, 0.0) ** 2
             clipped = jnp.where(eye[None, None], 0.0, clipped)
-            repulsive = repulsive + jnp.mean(jnp.sum(clipped, axis=-1)) / K
+            if qm is None:
+                repulsive = repulsive + jnp.mean(jnp.sum(clipped, axis=-1)) / K
+            else:
+                row_sums = jnp.sum(clipped, axis=(-1, -2))  # (B, Q)
+                denom = jnp.maximum(jnp.sum(qm), 1.0) * K
+                repulsive = repulsive + jnp.sum(row_sums * qm) / denom / K
     return deform_fitting_power * (2.0 * fitting + repulsive)
 
 

@@ -274,7 +274,7 @@ struct Iter {
   int batch_size;
   bool shuffle, drop_last, class_balance;
   int class_per_batch;
-  std::mt19937 rng;
+  unsigned seed = 0;
 
   std::vector<int32_t> order;
   int n_batches = 0;
@@ -326,8 +326,12 @@ struct Iter {
   }
 
   void build_order(int epoch) {
-    std::mt19937 erng(rng());
-    (void)epoch;
+    // epoch-DETERMINED order (like the Python BatchIterator's (seed, epoch)
+    // rng): a resumed run replays the uninterrupted run's shuffles, and
+    // mid-epoch resets (the DG loop abandons the longer zipped iterator)
+    // cannot advance future epochs' streams.
+    std::seed_seq seq{seed, (unsigned)epoch};
+    std::mt19937 erng(seq);
     order.clear();
     int64_t M = ds->num_clouds;
     if (class_balance) {
@@ -369,7 +373,7 @@ void* sug_iter_create(void* dsh, int batch_size, int shuffle, int drop_last,
   it->drop_last = drop_last;
   it->class_balance = class_balance;
   it->class_per_batch = class_per_batch;
-  it->rng.seed(seed);
+  it->seed = seed;
   it->buf_pts.resize((size_t)batch_size * it->ds->num_points * 3);
   it->buf_labels.resize(batch_size);
   it->build_order(0);

@@ -91,11 +91,13 @@ def pfh_joint(pc: jax.Array, normals: jax.Array, k: int = 8, div: int = 5) -> ja
     (B, N, 3) -> (B, N, div**3).
     """
     B, N, _ = pc.shape
-    idx = knn_indices(pc, k)  # (B, N, k)
-    self_idx = jnp.broadcast_to(
-        jnp.arange(N, dtype=idx.dtype)[None, :, None], (B, N, 1)
-    )
-    members = jnp.concatenate([self_idx, idx], axis=-1)  # (B, N, n), n = k+1
+    # neighborhood = {self + k distinct neighbors}: knn_indices is
+    # self-inclusive (self is each point's nearest at distance 0), so asking
+    # for k+1 yields exactly the reference's p_list = [i] + indNeigh[i]
+    # (reference utils/pfh.py:267 pops self from the neighbor list before
+    # prepending it). Prepending self to a self-inclusive kNN would
+    # double-count it and drop one true neighbor.
+    members = knn_indices(pc, k + 1)  # (B, N, n), n = k+1
     mp = index_points(pc, members)  # (B, N, n, 3)
     mn = index_points(normals, members)
     n = k + 1

@@ -147,3 +147,57 @@ class TestGridPyramid:
         )
         if fits:
             np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
+
+
+class TestMaskedDeformRegularizer:
+    """p2p_fitting_regularizer with a sown q_mask must equal the regularizer
+    computed on only the valid rows — pad rows neither deflate the fitting
+    mean nor add phantom repulsion pairs."""
+
+    def test_masked_equals_valid_only(self):
+        import jax.numpy as jnp
+
+        from sug_tpu.models.kpconv import p2p_fitting_regularizer
+
+        rng = np.random.default_rng(0)
+        B, Q, K = 2, 8, 5
+        valid_q = 5  # rows >= valid_q are padding
+        min_d2 = jnp.asarray(rng.uniform(0.0, 2.0, (B, Q, K)), jnp.float32)
+        kp = jnp.asarray(rng.normal(size=(B, Q, K, 3)), jnp.float32)
+        qm = jnp.asarray(
+            (np.arange(Q) < valid_q)[None, :].repeat(B, 0), jnp.float32
+        )
+        # garbage pad rows (what a grid-pyramid sentinel level produces)
+        min_d2 = min_d2 * qm[..., None]
+        kp_garbage = kp.at[:, valid_q:].set(0.0)
+
+        sown = {"layer": {
+            "q_mask": (qm,),
+            "min_d2_over_ext2": (min_d2,),
+            "deformed_kp_over_ext": (kp_garbage,),
+        }}
+        got = float(p2p_fitting_regularizer(sown))
+
+        sown_valid = {"layer": {
+            "min_d2_over_ext2": (min_d2[:, :valid_q],),
+            "deformed_kp_over_ext": (kp[:, :valid_q],),
+        }}
+        want = float(p2p_fitting_regularizer(sown_valid))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_gradient_is_finite(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sug_tpu.models.kpconv import p2p_fitting_regularizer
+
+        rng = np.random.default_rng(1)
+        kp = jnp.asarray(rng.normal(size=(1, 4, 5, 3)), jnp.float32)
+
+        def loss(kp):
+            return p2p_fitting_regularizer(
+                {"l": {"deformed_kp_over_ext": (kp,)}}
+            )
+
+        g = jax.grad(loss)(kp)
+        assert np.isfinite(np.asarray(g)).all()

@@ -214,3 +214,31 @@ class TestNativePointOps:
         assert offline_splitter._use_native_pointops()
         monkeypatch.setenv("SUG_NATIVE_SPLITTER", "0")
         assert not offline_splitter._use_native_pointops()
+
+
+def test_native_iterator_epoch_determinism(tmp_path, rng=None):
+    """set_epoch(e) must produce an epoch-DETERMINED order: a resumed run
+    replays the uninterrupted run's shuffles regardless of how many resets
+    happened before (the Python BatchIterator contract)."""
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(30, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, 30).astype(np.int32)
+    ds = native.NativePointCloudDataset.from_arrays(pts, labels)
+    it = native.NativeBatchIterator(ds, batch_size=10, shuffle=True, seed=13)
+
+    it.set_epoch(5)
+    run1 = [l.copy() for _, l in it]
+    # scramble the internal stream: several resets at other epochs
+    it.set_epoch(0)
+    next(iter(it))
+    it.set_epoch(9)
+    _ = list(it)
+    it.set_epoch(5)
+    run2 = [l.copy() for _, l in it]
+    assert len(run1) == len(run2) == 3
+    for a, b in zip(run1, run2):
+        np.testing.assert_array_equal(a, b)
+    # and a different epoch gives a different order
+    it.set_epoch(6)
+    run3 = [l.copy() for _, l in it]
+    assert any(not np.array_equal(a, b) for a, b in zip(run1, run3))

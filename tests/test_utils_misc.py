@@ -65,7 +65,9 @@ class TestPFH:
         k, div = 5, 3
         pc = np.asarray(rng.normal(size=(2, 24, 3)), np.float32)
         normals = np.asarray(estimate_normals(jnp.asarray(pc), k=k))
-        idx = np.asarray(knn_indices(jnp.asarray(pc), k))
+        # {self + k distinct neighbors}: knn_indices is self-inclusive, so
+        # k+1 gives self once plus k true neighbors (reference p_list shape)
+        idx = np.asarray(knn_indices(jnp.asarray(pc), k + 1))
 
         def oracle_hist(pts, nrm, members):
             hist = np.zeros(div**3)
@@ -98,7 +100,8 @@ class TestPFH:
         assert got.shape == (2, 24, div**3)
         for b in range(2):
             for i in range(0, 24, 7):
-                members = [i] + list(idx[b, i])
+                members = list(idx[b, i])
+                assert members[0] == i and len(set(members)) == k + 1
                 want = oracle_hist(pc[b], normals[b], members)
                 np.testing.assert_allclose(got[b, i], want, atol=1e-5)
         # per-point histograms are normalized distributions

@@ -24,7 +24,7 @@ from sug_tpu.data import (
     DATASET_LIST,
 )
 from sug_tpu.engine.alternating_trainer import AlternatingTrainer
-from sug_tpu.engine.checkpoint import save_checkpoint
+from sug_tpu.engine.checkpoint import save_checkpoint, wait_for_saves
 from sug_tpu.engine.dg_trainer import make_criterion
 from sug_tpu.engine.evaluation import Evaluator, eval_worker
 from sug_tpu.engine.optim import cosine_lr, dis_lr_schedule
@@ -153,6 +153,8 @@ def main():
 
         dt = time.time() - since
         logger.info("The {} epoch takes {:.0f}m {:.0f}s".format(epoch, dt // 60, dt % 60))
+
+    wait_for_saves()  # flush any in-flight async checkpoint write
 
 
 if __name__ == "__main__":
