@@ -65,7 +65,9 @@ def main():
         weight_decay=5e-4, use_grl=True,
     )
     state = trainer.init_state(seed=seed, batch_size=args.batchsize, num_points=1024)
-    evaluator = Evaluator(trainer.eval_apply)
+    # eval loss = the trainer's criterion (CE here, matching the reference's
+    # hardcoded CrossEntropyLoss handed to eval, train_uda.py:96,203)
+    evaluator = Evaluator(trainer.eval_apply, criterion=trainer.criterion)
 
     best_acc = {k: [0, 0.0] for k in eval_sets}
     remain_epoch = 50  # reference cosine horizon pad (train_uda.py optimizer setup)
