@@ -95,3 +95,29 @@ def test_mmd_symmetric_and_nonneg(X, Y):
     yx = float(mix_rbf_mmd2(Y, X))
     np.testing.assert_allclose(xy, yx, atol=1e-5)
     assert xy >= -1e-5  # biased estimator is nonnegative
+
+
+# ---------------------------------------------------------------------------
+# native pointops (C++) vs the jax ops — fuzzed equivalence
+# ---------------------------------------------------------------------------
+
+
+@given(
+    hnp.arrays(
+        np.float32,
+        st.tuples(st.integers(1, 3), st.integers(8, 48)).map(lambda t: (*t, 3)),
+        elements=st.floats(-2.0, 2.0, width=32),
+    ),
+    st.integers(2, 8),
+)
+@settings(max_examples=25, deadline=None)
+def test_native_fps_bit_exact_fuzz(pts, npoint):
+    from sug_tpu import native
+    from sug_tpu.ops.geometry import farthest_point_sample
+
+    if not native.pointops_available():
+        return
+    npoint = min(npoint, pts.shape[1])
+    got = native.fps_native(pts, npoint)
+    ref = np.asarray(farthest_point_sample(jnp.asarray(pts), npoint))
+    np.testing.assert_array_equal(got, ref)
