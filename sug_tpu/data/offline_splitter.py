@@ -126,14 +126,26 @@ def kmeans_cluster_idx_update(labels_, cluster_centers_):
     return new_labels, new_centers
 
 
-def kmeans_clustering(feature_maps: np.ndarray, cluster_num: int = 4) -> np.ndarray:
+def kmeans_clustering(
+    feature_maps: np.ndarray, cluster_num: int = 4,
+    fig_path: Optional[str] = None, cls: Optional[int] = None,
+) -> np.ndarray:
     """TSNE(2d) -> KMeans -> center-distance reorder
-    (dataset_splitter.py:151-166)."""
+    (dataset_splitter.py:151-166). When ``fig_path`` is given, writes the
+    reference's per-class cluster scatter PNG (its inspection artifact,
+    :155,:165 — headless-safe no-op if matplotlib is unavailable)."""
     from sklearn.cluster import KMeans
 
     reduced = reduction_tsne(feature_maps, num_comps=2)
     km = KMeans(n_clusters=cluster_num, n_init=10).fit(reduced)
-    labels, _ = kmeans_cluster_idx_update(km.labels_, km.cluster_centers_)
+    labels, centers = kmeans_cluster_idx_update(km.labels_, km.cluster_centers_)
+    if fig_path is not None:
+        from sug_tpu.utils.visualization import visualize_feature_scatter
+
+        visualize_feature_scatter(
+            reduced, cls=cls, labels_=labels, cluster_centers=centers,
+            file_path=fig_path,
+        )
     return labels
 
 
@@ -310,7 +322,9 @@ def spliter_cls_data(
 
     save_path = os.path.join(resolve_data_root(data_root), dataset_type, save_dir)
     os.makedirs(save_path, exist_ok=True)
-    for f in glob(os.path.join(save_path, f"{method}_{cls}*")):
+    # stale-file cleanup is restricted to the cluster .npy contract — the
+    # kmeans_<cls>_clsuter.png inspection artifact also matches this prefix
+    for f in glob(os.path.join(save_path, f"{method}_{cls}*.npy")):
         os.remove(f)
 
     for k in range(len(set(cluster_labels.tolist()))):
@@ -384,7 +398,12 @@ def split_dataset_clusters(
         sel = raw_labels == i
         if sel.sum() < cluster_num:
             continue
-        cluster_cls = kmeans_clustering(mids[sel], cluster_num)
+        # same inspection-artifact name as the reference (its misspelling
+        # included, dataset_splitter.py:155)
+        cluster_cls = kmeans_clustering(
+            mids[sel], cluster_num,
+            fig_path=os.path.join(save_path, f"kmeans_{i}_clsuter.png"), cls=i,
+        )
         spliter_cls_data(
             pts_all=raw_pts[sel], cluster_labels=cluster_cls, cls=i,
             method="kmeans", dataset_type=dataset_type,
