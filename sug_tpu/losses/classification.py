@@ -59,27 +59,42 @@ def class_weights(
     - exp_inverse: normalized exp(-n_c / total).
     - DLSA: normalized n_c^(-q); q from config, or adaptive from the sym-KL
       between the class distribution and uniform.
+
+    Classes with a ZERO training count get weight 0 (and the remaining
+    weights renormalize over the present classes). The reference divides by
+    the raw count (data/dataloader.py:296), so an absent class yields
+    inf -> NaN for EVERY class after normalization — a genuine bug that
+    detonates the moment a transfer/eval set contains the missing class.
+    Fixed here rather than kept for parity; during training the absent
+    class never appears in labels, so the two behave identically wherever
+    the reference doesn't NaN.
     """
     counts = np.asarray(cls_counts, dtype=np.float64)
+    present = counts > 0
     total = counts.sum()
     C = len(counts)
+    safe = np.where(present, counts, 1.0)  # placeholder; masked to 0 below
+
+    def _norm(w: np.ndarray) -> np.ndarray:
+        w = np.where(present, w, 0.0)
+        return (w / w.sum()).astype(np.float32)
+
     if weighting == "number_inverse":
-        inv = 1.0 / counts
-        return (inv / inv.sum()).astype(np.float32)
+        return _norm(1.0 / safe)
     if weighting == "exp_inverse":
-        e = np.exp(-counts / total)
-        return (e / e.sum()).astype(np.float32)
+        return _norm(np.exp(-counts / total))
     if weighting == "DLSA":
         if adaptive_q or (isinstance(q, str)):
-            uni = np.full(C, 1.0 / C)
-            cur = counts / total
+            # sym-KL restricted to present classes (it is infinite otherwise)
+            Cp = int(present.sum())
+            uni = np.full(Cp, 1.0 / Cp)
+            cur = counts[present] / total
             # scipy kl_div semantics incl. the x=0 -> y convention
             kl = lambda x, y: np.where(x > 0, x * np.log(np.where(x > 0, x, 1.0) / y) - x + y, y)
             q_val = float(np.sum(0.5 * kl(cur, uni) + 0.5 * kl(uni, cur)))
         else:
             q_val = 0.4 if q is None else float(q)
-        w = counts ** (-q_val)
-        return (w / w.sum()).astype(np.float32)
+        return _norm(safe ** (-q_val))
     return np.full(C, 1.0 / C, dtype=np.float32)
 
 

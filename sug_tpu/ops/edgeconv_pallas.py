@@ -512,6 +512,13 @@ def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False,
     Fp = u.shape[-1]
     n_tiles = S // TILE
     grid = (B, n_tiles)
+    # analytic executed-MXU FLOPs (invisible to XLA cost_analysis):
+    # distance tile 3 bf16-split passes + k one-hot gathers at 1 (bf16
+    # values) or 2 (exact split) passes each; padded dims = real passes.
+    from sug_tpu.ops import flops as _flops
+
+    p = 1 if values_bf16 else 2
+    _flops.record("edgeconv_fwd", B * S * N * (6.0 * C + 2.0 * p * Fp * k))
 
     # Two forward kernels (SUG_EDGECONV_FWD_MODE):
     #   loop (default) — per-neighbor gather matmuls, full unroll up to k=24
@@ -587,6 +594,11 @@ def _bwd_pallas(idx_t, u, v, amax, amin, damax, damin, ds1, ds2,
     k = idx_t.shape[1]
     n_tiles = S // TILE
     grid = (B, n_tiles)
+    # analytic executed-MXU FLOPs: gather replay + dU scatter, p passes each
+    from sug_tpu.ops import flops as _flops
+
+    p = 1 if values_bf16 else 2
+    _flops.record("edgeconv_bwd", 4.0 * p * B * S * N * Fp * k)
 
     # Two backward kernels (SUG_EDGECONV_BWD_MODE):
     #   batched (default) — two-stage windowed gather/scatter (one big MXU

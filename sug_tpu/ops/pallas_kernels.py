@@ -109,6 +109,11 @@ def chamfer_pallas(
         return geometry.chamfer_distance(pc1, pc2, per_sample)
     tile_q = min(tile, N)
     tile_s = min(tile, M)
+    # analytic executed-MXU FLOPs: one (TQ,8)x(8,TS) cross matmul per tile
+    # pair, both directions (XLA cost_analysis cannot see custom calls)
+    from sug_tpu.ops import flops as _flops
+
+    _flops.record("chamfer_tiled", 32.0 * B * N * M)
     d1 = _min_dists_tiled(pc1, pc2, tile_q, tile_s)  # (B, N)
     d2 = _min_dists_tiled(pc2, pc1, tile_q, tile_s)  # (B, M)
     per = jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)

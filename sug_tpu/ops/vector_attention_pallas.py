@@ -442,6 +442,16 @@ def _fwd_pallas(xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k: int,
     xyz, q, key, val, wd1, wd2, wg1, wg2 = _cast_operands(
         xyz, q, key, val, wd1, wd2, wg1, wg2
     )
+    # analytic executed-MXU FLOPs (invisible to XLA cost_analysis): 3-pass
+    # distance tile + per-neighbor gathers (xyz 2 passes, key/val 1 each)
+    # and the two bf16 MLP chains (Cp->D, 3x D->D).
+    from sug_tpu.ops import flops as _flops
+
+    _flops.record(
+        "vecattn_fwd",
+        B * N * (6.0 * N * Cp + k * (4.0 * N * Cp + 4.0 * N * D
+                                     + 2.0 * Cp * D + 6.0 * D * D)),
+    )
     tile, full, shared, idx_spec = _specs(N, Cp, D, k)
     kernel = functools.partial(
         _fwd_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_FWD_CHUNK", 16)
@@ -475,6 +485,16 @@ def _bwd_pallas(idx_t, xyz, q, key, val, wd1, wd2, wg1, wg2, bias,
     k = idx_t.shape[1]
     xyz, q, key, val, wd1b, wd2b, wg1b, wg2b = _cast_operands(
         xyz, q, key, val, wd1, wd2, wg1, wg2
+    )
+    # analytic executed-MXU FLOPs: input kernel (replay gathers+MLPs, gamma
+    # backward, dkey/dval scatters) + weight kernel (replay, both MLP
+    # backwards, 4 outer products) — see the kernel bodies for the terms.
+    from sug_tpu.ops import flops as _flops
+
+    _flops.record(
+        "vecattn_bwd",
+        B * N * k * (8.0 * N * Cp + 12.0 * N * D + 6.0 * Cp * D
+                     + 28.0 * D * D),
     )
     tile, full, shared, idx_spec = _specs(N, Cp, D, k)
     grid = (B, N // TILE)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sug_tpu.losses import focal_loss, cross_entropy, class_weights, discrepancy
 
@@ -65,6 +66,23 @@ class TestClassWeights:
     def test_uniform_fallback(self):
         w = class_weights([1, 2, 3], "whatever")
         np.testing.assert_allclose(w, 1 / 3, rtol=1e-5)
+
+    @pytest.mark.parametrize("weighting", ["number_inverse", "exp_inverse", "DLSA"])
+    def test_zero_count_class_is_finite(self, weighting):
+        # reference bug (data/dataloader.py:296): 1/0 -> inf makes EVERY
+        # weight NaN after normalization; here the absent class gets 0 and
+        # the rest renormalize.
+        with np.errstate(all="raise"):
+            w = class_weights([10, 0, 70], weighting, q=0.4)
+        assert np.isfinite(w).all()
+        assert w[1] == 0.0
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+        assert w[0] > w[2] > 0
+
+    def test_zero_count_dlsa_adaptive(self):
+        with np.errstate(over="raise", invalid="raise"):
+            w = class_weights([10, 0, 70], "DLSA", q="adaptive")
+        assert np.isfinite(w).all() and w[1] == 0.0
 
 
 def test_discrepancy(rng):

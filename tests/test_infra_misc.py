@@ -77,55 +77,62 @@ def test_native_iterator_multi_epoch(tmp_path, rng):
         assert all(b[0].shape == (8, 16, 3) for b in batches)
 
 
-class TestBenchRetry:
-    """bench.measure_with_retry: transient tunnel errors retried, the
-    MFU-sanity MethodologyError never (a broken timing must not be retried
-    into a 'success')."""
+class TestBenchOutageRobustness:
+    """bench.py's driver contract: the parent never imports jax and ALWAYS
+    prints one parseable JSON line within its deadline — a real number, or a
+    structured failure — even when backend init hangs forever (the round-3
+    failure mode: a dead axon tunnel hung one init attempt for 27 min and
+    the round's artifact recorded rc=124 with no output)."""
 
-    def _bench(self):
-        import importlib.util
+    BENCH = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
 
-        spec = importlib.util.spec_from_file_location(
-            "bench", os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "bench.py")
+    def _run(self, fake: str, deadline: str, timeout: float = 120.0):
+        import json
+        import subprocess
+        import sys
+        import time
+
+        env = dict(os.environ)
+        env["SUG_BENCH_FAKE"] = fake
+        env["SUG_BENCH_DEADLINE_S"] = deadline
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, self.BENCH], env=env, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line), time.time() - t0
 
-    def test_transient_errors_retried(self, monkeypatch):
-        bench = self._bench()
-        calls = {"n": 0}
+    def test_hung_backend_fails_fast_with_structured_json(self):
+        # probe child sleeps forever (simulated dead tunnel); the parent must
+        # kill it at the deadline-derived timeout and print a parseable
+        # structured failure — NOT hang until the driver's rc=124.
+        out, dt = self._run(fake="hang", deadline="12", timeout=90.0)
+        assert out["value"] is None
+        assert out["vs_baseline"] is None
+        assert "error" in out and "unreachable" in out["error"]
+        assert out["stage"] == "probe"
+        assert dt < 60, f"structured failure took {dt:.0f}s"
 
-        def flaky(**kw):
-            calls["n"] += 1
-            if calls["n"] < 3:
-                raise ValueError("tunnel down")
-            return {"ok": True}
+    def test_fake_ok_prints_headline_json(self):
+        out, _ = self._run(fake="ok", deadline="600")
+        assert out["value"] == pytest.approx(1280.0)
+        assert out["unit"] == "clouds/sec/chip"
+        assert "error" not in out
 
-        monkeypatch.setattr(bench, "measure", flaky)
-        assert bench.measure_with_retry(attempts=3, wait_s=0.0) == {"ok": True}
-        assert calls["n"] == 3
+    def test_methodology_error_never_retried(self):
+        import time
 
-    def test_methodology_error_propagates_immediately(self, monkeypatch):
-        bench = self._bench()
-        calls = {"n": 0}
+        t0 = time.time()
+        out, _ = self._run(fake="methodology", deadline="600")
+        assert out["value"] is None
+        assert "impossible MFU" in out["error"] or "fake" in out["error"]
+        # no retry sleeps: two measure children, each failing instantly
+        assert time.time() - t0 < 90
 
-        def gate(**kw):
-            calls["n"] += 1
-            raise bench.MethodologyError("implied MFU 230%")
-
-        monkeypatch.setattr(bench, "measure", gate)
-        with pytest.raises(bench.MethodologyError):
-            bench.measure_with_retry(attempts=3, wait_s=0.0)
-        assert calls["n"] == 1
-
-    def test_exhausted_retries_raise_last_error(self, monkeypatch):
-        bench = self._bench()
-
-        def dead(**kw):
-            raise ConnectionError("refused")
-
-        monkeypatch.setattr(bench, "measure", dead)
-        with pytest.raises(ConnectionError):
-            bench.measure_with_retry(attempts=2, wait_s=0.0)
+    def test_crashing_child_fails_structured(self):
+        out, _ = self._run(fake="fail", deadline="600")
+        assert out["value"] is None and out["stage"] == "probe"
