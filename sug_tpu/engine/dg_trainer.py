@@ -156,13 +156,17 @@ class DGTrainer:
         return state
 
     # ------------------------------------------------------------------
-    def _forward_both(self, params, batch_stats, data_s, data_t, key, grl_const):
+    def _forward_both(
+        self, params, batch_stats, data_s, data_t, key, grl_const, train: bool = True
+    ):
         """Source then target forward, threading BN stats like the
-        reference's sequential model() calls."""
+        reference's sequential model() calls. ``train=False`` (used by the
+        loss-parity tests) makes the pass deterministic: FPS starts at index
+        0, dropout off, BN running stats."""
         k_fps_s, k_fps_t, k_do_s, k_do_t = jax.random.split(key, 4)
         B, N = data_s.shape[0], data_s.shape[1]
-        fps_s = jax.random.randint(k_fps_s, (B,), 0, N)
-        fps_t = jax.random.randint(k_fps_t, (B,), 0, N)
+        fps_s = jax.random.randint(k_fps_s, (B,), 0, N) if train else None
+        fps_t = jax.random.randint(k_fps_t, (B,), 0, N) if train else None
 
         # KPConv's deformable layers sow fitting/repulsion terms into a
         # 'regularizers' collection (reference p2p_fitting_regularizer added
@@ -172,32 +176,33 @@ class DGTrainer:
         out_s, mut = self.model.apply(
             variables,
             data_s,
-            True,
+            train,
             domain="source",
             fps_start=fps_s,
             rngs={"dropout": k_do_s},
             mutable=mutable,
         )
         reg_s = mut.get("regularizers", {})
-        variables = {"params": params, "batch_stats": mut["batch_stats"]}
+        variables = {"params": params, "batch_stats": mut.get("batch_stats", batch_stats)}
         out_t, mut = self.model.apply(
             variables,
             data_t,
-            True,
+            train,
             domain="target",
             grl_constant=grl_const if self._grl else None,
             fps_start=fps_t,
             rngs={"dropout": k_do_t},
             mutable=mutable,
         )
-        return out_s, out_t, mut["batch_stats"], reg_s
+        return out_s, out_t, mut.get("batch_stats", batch_stats), reg_s
 
     def _loss(
-        self, params, batch_stats, data_s, label_s, data_t, label_t, key, grl_const, mmd_on
+        self, params, batch_stats, data_s, label_s, data_t, label_t, key, grl_const,
+        mmd_on, *, train: bool = True
     ):
         methods = self.cfg["METHODS"]
         out_s, out_t, new_stats, reg_sown = self._forward_both(
-            params, batch_stats, data_s, data_t, key, grl_const
+            params, batch_stats, data_s, data_t, key, grl_const, train=train
         )
 
         loss_s1 = self.criterion(out_s["logits1"], label_s)

@@ -151,33 +151,57 @@ def grid_subsample_fixed(
     if valid is not None:
         key = jnp.where(valid > 0, key, pad_key)
 
-    order = jnp.argsort(key, axis=1)
-    skey = jnp.take_along_axis(key, order, axis=1)
-    spc = jnp.take_along_axis(pc, order[..., None], axis=1)
+    # Scatter-free segment means: ONE multi-operand sort carries the
+    # coordinates with the keys (replacing argsort + gathers), and each
+    # voxel's sum is a prefix-sum difference at its segment boundaries.
+    # The previous jax.ops.segment_sum formulation lowered to TPU scatters,
+    # which serialize and dominated the grid-pyramid step (docs/PERF.md).
+    f = pc.astype(jnp.float32)
+    skey, sx, sy, sz = jax.lax.sort(
+        (key, f[..., 0], f[..., 1], f[..., 2]), dimension=1, num_keys=1
+    )
     is_real = skey < pad_key
+    w = is_real.astype(jnp.float32)
     is_first = jnp.concatenate(
         [jnp.ones((B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=1
     ) & is_real
-    seg = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # (B, N)
-    seg = jnp.maximum(seg, 0)
-    w = is_real.astype(pc.dtype)
-
-    sums = jax.vmap(
-        lambda s, p, ww: jax.ops.segment_sum(p * ww[:, None], s, num_segments=N)
-    )(seg, spc, w)
-    cnts = jax.vmap(
-        lambda s, ww: jax.ops.segment_sum(ww, s, num_segments=N)
-    )(seg, w)
-    centroids = sums / jnp.maximum(cnts, 1.0)[..., None]  # (B, N, 3) voxel rank order
     n_vox = jnp.sum(is_first.astype(jnp.int32), axis=1)  # (B,)
+    n_real = jnp.sum(is_real.astype(jnp.int32), axis=1)  # (B,)
+
+    # prefix sums with a leading zero: segment rows [s, e) sum to P[e]-P[s]
+    spc = jnp.stack([sx, sy, sz], axis=-1) * w[..., None]
+    P = jnp.concatenate(
+        [jnp.zeros((B, 1, 3), jnp.float32), jnp.cumsum(spc, axis=1)], axis=1
+    )  # (B, N+1, 3)
+    Pw = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(w, axis=1)], axis=1
+    )  # (B, N+1)
+
+    # segment start rows in voxel-rank order (ranks >= n_vox get sentinel N)
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    (starts,) = jax.lax.sort((jnp.where(is_first, iota_n[None, :], N),), dimension=1)
 
     i = jnp.arange(capacity, dtype=jnp.int32)
     strat = (i[None, :] * n_vox[:, None]) // jnp.maximum(capacity, 1)
     head = jnp.minimum(i[None, :], jnp.maximum(n_vox[:, None] - 1, 0))
-    take = jnp.where(n_vox[:, None] > capacity, strat, head)
-    out = jnp.take_along_axis(centroids, take[..., None], axis=1)
+    take = jnp.where(n_vox[:, None] > capacity, strat, head)  # (B, cap) ranks
+
+    s_row = jnp.take_along_axis(starts, take, axis=1)  # (B, cap)
+    nxt_row = jnp.take_along_axis(starts, jnp.minimum(take + 1, N - 1), axis=1)
+    e_row = jnp.where(take + 1 < n_vox[:, None], nxt_row, n_real[:, None])
+    # n_vox == 0 (fully padded cloud): starts[0] is the sentinel N and
+    # e_row is 0; the slots are sentinel-overwritten below, the P/Pw
+    # gathers just need to stay in bounds (P has N+1 rows).
+    s_row = jnp.minimum(s_row, N)
+
+    seg_sum = jnp.take_along_axis(P, e_row[..., None], axis=1) - jnp.take_along_axis(
+        P, s_row[..., None], axis=1
+    )
+    cnt = jnp.take_along_axis(Pw, e_row, axis=1) - jnp.take_along_axis(Pw, s_row, axis=1)
+    out = (seg_sum / jnp.maximum(cnt, 1.0)[..., None]).astype(pc.dtype)
+
     out_valid = (i[None, :] < n_vox[:, None]).astype(pc.dtype)
-    sentinel = 1e6 + 10.0 * i.astype(pc.dtype)
+    sentinel = (1e6 + 10.0 * i.astype(pc.dtype)).astype(pc.dtype)
     out = jnp.where(
         out_valid[..., None] > 0, out, sentinel[None, :, None]
     )

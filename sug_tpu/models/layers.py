@@ -69,7 +69,7 @@ class FCLayer(nn.Module):
         dt = compute_dtype()
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=dt)(x)
         if self.use_norm:
-            x = nn.LayerNorm(dtype=dt)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=dt)(x)  # torch LayerNorm eps
         return activation(x, self.act, negative_slope=0.2)
 
 
