@@ -48,33 +48,34 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-def _vecattn_mode(n: int, d_model: int) -> str:
-    """'fused' | 'interpret' | 'xla' for a given attention level.
+def _vecattn_mode(n: int, d_model: int):
+    """('fused' | 'interpret' | 'xla', precise) for a given attention level.
 
     SUG_FUSED_VECATTN: 1 force-fused, 0 force-XLA, interpret = fused kernel
     in interpret mode (CPU tests), auto (default) = fused on TPU whenever
-    the level's shapes tile (the kernel's matmuls are single-pass bf16 — the
-    PRECISION: bf16 policy's precision — so auto additionally requires the
-    bf16 policy to keep f32 runs exactly on the XLA path)."""
+    the level's shapes tile. Under the bf16 policy the kernel runs its
+    single-pass-bf16 mode (the policy's Dense precision); under f32 it runs
+    the f32-faithful mode (exact hi/lo key/val gathers + f32 accumulation;
+    the MLP matmuls already match XLA's DEFAULT f32 dot, which single-passes
+    bf16 on TPU — tools/precision_probe.py)."""
     import os
 
     from sug_tpu.models.precision import compute_dtype
 
+    precise = compute_dtype() != jnp.bfloat16
     mode = os.environ.get("SUG_FUSED_VECATTN", "auto")
     shapes_ok = n % 128 == 0 and d_model % 128 == 0
     if mode == "0":
-        return "xla"
+        return "xla", precise
     if mode == "interpret":
-        return "interpret" if shapes_ok else "xla"
+        return ("interpret" if shapes_ok else "xla"), precise
     if mode == "1":
-        return "fused" if shapes_ok else "xla"
+        return ("fused" if shapes_ok else "xla"), precise
     return (
         "fused"
-        if shapes_ok
-        and jax.default_backend() == "tpu"
-        and compute_dtype() == jnp.bfloat16
+        if shapes_ok and jax.default_backend() == "tpu"
         else "xla"
-    )
+    ), precise
 
 
 class VectorAttentionBlock(nn.Module):
@@ -103,7 +104,7 @@ class VectorAttentionBlock(nn.Module):
         key_full = nn.Dense(self.d_model, use_bias=False, name="w_ks", dtype=dt)(x)
         val_full = nn.Dense(self.d_model, use_bias=False, name="w_vs", dtype=dt)(x)
 
-        mode = _vecattn_mode(xyz.shape[1], self.d_model)
+        mode, precise = _vecattn_mode(xyz.shape[1], self.d_model)
         if mode in ("fused", "interpret"):
             from sug_tpu.ops.vector_attention_pallas import fused_vector_attention
 
@@ -115,7 +116,7 @@ class VectorAttentionBlock(nn.Module):
             res = fused_vector_attention(
                 xyz, q, key_full, val_full, wd1, bd1, wd2, bd2, wg1, bg1,
                 wg2, bg2, min(self.k, xyz.shape[1]),
-                interpret=(mode == "interpret"),
+                interpret=(mode == "interpret"), precise=precise,
             )
             return nn.Dense(self.d_points, name="fc2")(res) + pre
 
@@ -216,7 +217,7 @@ class PointTransformerBackbone(nn.Module):
             n_unfused = sum(
                 nl
                 for nl in (max(N // 4**i, 1) for i in range(self.nblocks + 1))
-                if _vecattn_mode(nl, self.transformer_dim) == "xla"
+                if _vecattn_mode(nl, self.transformer_dim)[0] == "xla"
             )
             est = 7 * B * n_unfused * self.nneighbor * self.transformer_dim * bytes_per
             mode = "none" if est < 11e9 else "full"

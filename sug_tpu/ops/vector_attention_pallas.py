@@ -110,19 +110,49 @@ def _gather2T(onehotT, hi, lo):
     ) + jax.lax.dot_general(onehotT, lo, dn, preferred_element_type=jnp.float32)
 
 
+def _dot_accT(aT, b):
+    """3-pass bf16-split first-axis contraction (~f32) — the weight-grad
+    outer products in the f32-faithful 3-pass mode."""
+    a_hi, a_lo = _hilo(aT)
+    b_hi, b_lo = _hilo(b)
+    dn = (((0,), (0,)), ((), ()))
+    d = jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=jnp.float32)
+    d = d + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=jnp.float32)
+    d = d + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=jnp.float32)
+    return d
+
+
+def _hilo(a):
+    """Hoisted hi/lo bf16 pair for exact 2-pass gathers of an f32 block."""
+    hi = a.astype(jnp.bfloat16)
+    return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _scatter2(onehotT, v):
+    """EXACT scatter of f32 rows v (TILE, D) through a transposed one-hot
+    (N, TILE): the one-hot's 0/1 entries are bf16-representable, so two
+    single-pass matmuls against v's hi/lo split reproduce v bit-exactly —
+    the f32-faithful mode's dkey/dval accumulation."""
+    v_hi, v_lo = _hilo(v)
+    return jnp.dot(onehotT, v_hi, preferred_element_type=jnp.float32) + jnp.dot(
+        onehotT, v_lo, preferred_element_type=jnp.float32
+    )
+
+
 def _edge_forward(xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1,
-                  wg2, bg2):
+                  wg2, bg2, mm=_bdot):
     """Per-edge math for one neighbor slot: all inputs (TILE, Cp/D); weight
-    matmuls single-pass bf16. Returns every intermediate the two backward
+    matmuls through ``mm`` (single-pass bf16 by default; the f32-faithful
+    mode passes _dot_acc). Returns every intermediate the two backward
     kernels need."""
     delta = xyz_tile - xyz_j  # (TILE, Cp)
-    h_d = _bdot(delta, wd1) + bd1  # (TILE, D)
+    h_d = mm(delta, wd1) + bd1  # (TILE, D)
     relu_d = jnp.maximum(h_d, 0.0)
-    pos = _bdot(relu_d, wd2) + bd2
+    pos = mm(relu_d, wd2) + bd2
     att_in = q - key_j + pos
-    h_g = _bdot(att_in, wg1) + bg1
+    h_g = mm(att_in, wg1) + bg1
     relu_g = jnp.maximum(h_g, 0.0)
-    z = _bdot(relu_g, wg2) + bg2
+    z = mm(relu_g, wg2) + bg2
     return z, pos, relu_d, relu_g, att_in, delta
 
 
@@ -147,13 +177,16 @@ def _loop(k: int, unroll: int, body, init):
 
 def _fwd_kernel(xyz_tile_ref, xyzb_ref, q_ref, key_ref, val_ref,
                 wd1_ref, wd2_ref, wg1_ref, wg2_ref, bias_ref,
-                out_ref, m_ref, l_ref, idx_ref, *, k: int, unroll: int):
+                out_ref, m_ref, l_ref, idx_ref, *, k: int, unroll: int,
+                precise: bool = False, mm3: bool = False):
     """One (batch, query-tile) program.
 
     Blocks: xyz_tile (TILE, Cp) f32, xyzb (N, Cp) f32, q (TILE, D) f32,
-    key/val (N, D) bf16, weights (Cp or D, D) bf16, bias (8, D) f32 rows
-    [bd1, bd2, bg1, bg2, pad]. Outputs: out (TILE, D), m/l (TILE, D)
-    softmax stats, idx (k, TILE) int32.
+    key/val (N, D) bf16 (f32 when ``precise`` — gathered exactly via hi/lo
+    2-pass), weights (Cp or D, D) bf16/f32, bias (8, D) f32 rows
+    [bd1, bd2, bg1, bg2, pad]. ``mm3`` runs the MLP matmuls as 3-pass
+    bf16 splits (~f32) instead of single-pass bf16. Outputs: out (TILE, D),
+    m/l (TILE, D) softmax stats, idx (k, TILE) int32.
     """
     xyz_tile = xyz_tile_ref[:]
     xyzb = xyzb_ref[:]
@@ -164,6 +197,10 @@ def _fwd_kernel(xyz_tile_ref, xyzb_ref, q_ref, key_ref, val_ref,
     wd1, wd2, wg1, wg2 = wd1_ref[:], wd2_ref[:], wg1_ref[:], wg2_ref[:]
     key_b = key_ref[:]
     val_b = val_ref[:]
+    mm = _dot_acc if mm3 else _bdot
+    if precise:
+        key_hi, key_lo = _hilo(key_b)
+        val_hi, val_lo = _hilo(val_b)
     # hoisted loop invariants: xyz hi/lo split for near-exact gathers
     xyzb_hi = xyzb.astype(jnp.bfloat16)
     xyzb_lo = (xyzb - xyzb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -182,10 +219,15 @@ def _fwd_kernel(xyz_tile_ref, xyzb_ref, q_ref, key_ref, val_ref,
         j_sel = jnp.min(jnp.where(eligible, iota_n, N), axis=1, keepdims=True)
         onehot = (iota_n == j_sel).astype(jnp.bfloat16)  # (TILE, N)
         xyz_j = _gather2(onehot, xyzb_hi, xyzb_lo)
-        key_j = jnp.dot(onehot, key_b, preferred_element_type=jnp.float32)
-        val_j = jnp.dot(onehot, val_b, preferred_element_type=jnp.float32)
+        if precise:
+            key_j = _gather2(onehot, key_hi, key_lo)
+            val_j = _gather2(onehot, val_hi, val_lo)
+        else:
+            key_j = jnp.dot(onehot, key_b, preferred_element_type=jnp.float32)
+            val_j = jnp.dot(onehot, val_b, preferred_element_type=jnp.float32)
         z, pos, _, _, _, _ = _edge_forward(
-            xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1, wg2, bg2
+            xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1, wg2, bg2,
+            mm=mm,
         )
         # online per-channel softmax update
         m_new = jnp.maximum(m, z)
@@ -234,7 +276,8 @@ def _replay_setup(idx_ref, bias_ref, m_ref, l_ref, out_ref, dout_ref):
 def _bwd_input_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
                       val_ref, wd1_ref, wd2_ref, wg1_ref, wg2_ref, bias_ref,
                       m_ref, l_ref, out_ref, dout_ref,
-                      dq_ref, dkey_ref, dval_ref, *, k: int, unroll: int):
+                      dq_ref, dkey_ref, dval_ref, *, k: int, unroll: int,
+                      precise: bool = False, mm3: bool = False):
     """dq/dkey/dval: replay the k-loop from saved idx/m/l/out.
 
     Per channel c: alpha_jc = exp(z_jc - m_c)/l_c,
@@ -242,7 +285,8 @@ def _bwd_input_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
     datt (-> dq, -dkey_j) and dvpos gives dval_j. The delta-MLP chain is
     NOT needed here: pos depends only on weights and xyz, and xyz gets a
     zero cotangent by design. dkey/dval scatter via transposed one-hots
-    into per-batch-revisited output blocks.
+    into per-batch-revisited output blocks (exact 2-pass hi/lo scatters
+    when ``precise``).
     """
     t = pl.program_id(1)
     xyz_tile = xyz_tile_ref[:]
@@ -252,6 +296,10 @@ def _bwd_input_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
     wd1, wd2, wg1, wg2 = wd1_ref[:], wd2_ref[:], wg1_ref[:], wg2_ref[:]
     key_b = key_ref[:]
     val_b = val_ref[:]
+    mm = _dot_acc if mm3 else _bdot
+    if precise:
+        key_hi, key_lo = _hilo(key_b)
+        val_hi, val_lo = _hilo(val_b)
     idx, bd1, bd2, bg1, bg2, m, l, out, dout = _replay_setup(
         idx_ref, bias_ref, m_ref, l_ref, out_ref, dout_ref
     )
@@ -277,19 +325,28 @@ def _bwd_input_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
         row = jnp.sum(jnp.where(iota_k == j, idx, 0), axis=0, keepdims=True)
         onehotT = (iota_nT == row).astype(jnp.bfloat16)  # (N, TILE)
         xyz_j = _gather2T(onehotT, xyzb_hi, xyzb_lo)
-        key_j = _bdotT(onehotT, key_b)
-        val_j = _bdotT(onehotT, val_b)
+        if precise:
+            key_j = _gather2T(onehotT, key_hi, key_lo)
+            val_j = _gather2T(onehotT, val_hi, val_lo)
+        else:
+            key_j = _bdotT(onehotT, key_b)
+            val_j = _bdotT(onehotT, val_b)
         z, pos, _, relu_g, _, _ = _edge_forward(
-            xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1, wg2, bg2
+            xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1, wg2, bg2,
+            mm=mm,
         )
         alpha = jnp.exp(z - m) / l  # (TILE, D)
         dvpos = alpha * dout
         dz = dvpos * (val_j + pos - out)
-        drelu_g = _bdot(dz, wg2T)
+        drelu_g = mm(dz, wg2T)
         dh_g = jnp.where(relu_g > 0, drelu_g, 0.0)
-        datt = _bdot(dh_g, wg1T)  # -> dq, -dkey_j
-        dkey_ref[:] += _bdot(onehotT, -datt)
-        dval_ref[:] += _bdot(onehotT, dvpos)
+        datt = mm(dh_g, wg1T)  # -> dq, -dkey_j
+        if precise:
+            dkey_ref[:] += _scatter2(onehotT, -datt)
+            dval_ref[:] += _scatter2(onehotT, dvpos)
+        else:
+            dkey_ref[:] += _bdot(onehotT, -datt)
+            dval_ref[:] += _bdot(onehotT, dvpos)
         return dq + datt
 
     dq_ref[:] = _loop(k, unroll, body, jnp.zeros((TILE, D), jnp.float32))
@@ -299,7 +356,8 @@ def _bwd_weight_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
                        val_ref, wd1_ref, wd2_ref, wg1_ref, wg2_ref, bias_ref,
                        m_ref, l_ref, out_ref, dout_ref,
                        dwd1_ref, dwd2_ref, dwg1_ref, dwg2_ref, dbias_ref,
-                       *, k: int, unroll: int):
+                       *, k: int, unroll: int,
+                       precise: bool = False, mm3: bool = False):
     """dWd1/dWd2/dWg1/dWg2/dbias: same replay, chained through BOTH MLPs.
 
     dpos collects the attention-path (datt) and value-path (dvpos)
@@ -316,6 +374,10 @@ def _bwd_weight_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
     wd1, wd2, wg1, wg2 = wd1_ref[:], wd2_ref[:], wg1_ref[:], wg2_ref[:]
     key_b = key_ref[:]
     val_b = val_ref[:]
+    mm = _dot_acc if mm3 else _bdot
+    if precise:
+        key_hi, key_lo = _hilo(key_b)
+        val_hi, val_lo = _hilo(val_b)
     idx, bd1, bd2, bg1, bg2, m, l, out, dout = _replay_setup(
         idx_ref, bias_ref, m_ref, l_ref, out_ref, dout_ref
     )
@@ -344,24 +406,30 @@ def _bwd_weight_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
         row = jnp.sum(jnp.where(iota_k == j, idx, 0), axis=0, keepdims=True)
         onehotT = (iota_nT == row).astype(jnp.bfloat16)  # (N, TILE)
         xyz_j = _gather2T(onehotT, xyzb_hi, xyzb_lo)
-        key_j = _bdotT(onehotT, key_b)
-        val_j = _bdotT(onehotT, val_b)
+        if precise:
+            key_j = _gather2T(onehotT, key_hi, key_lo)
+            val_j = _gather2T(onehotT, val_hi, val_lo)
+        else:
+            key_j = _bdotT(onehotT, key_b)
+            val_j = _bdotT(onehotT, val_b)
         z, pos, relu_d, relu_g, att_in, delta = _edge_forward(
-            xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1, wg2, bg2
+            xyz_tile, xyz_j, q, key_j, wd1, bd1, wd2, bd2, wg1, bg1, wg2, bg2,
+            mm=mm,
         )
         alpha = jnp.exp(z - m) / l
         dvpos = alpha * dout
         dz = dvpos * (val_j + pos - out)
-        drelu_g = _bdot(dz, wg2T)
+        drelu_g = mm(dz, wg2T)
         dh_g = jnp.where(relu_g > 0, drelu_g, 0.0)
-        datt = _bdot(dh_g, wg1T)
+        datt = mm(dh_g, wg1T)
         dpos = datt + dvpos  # attention + value paths
-        drelu_d = _bdot(dpos, wd2T)
+        drelu_d = mm(dpos, wd2T)
         dh_d = jnp.where(relu_d > 0, drelu_d, 0.0)
-        dwg2_ref[:] += _bdotT(relu_g, dz)
-        dwg1_ref[:] += _bdotT(att_in, dh_g)
-        dwd2_ref[:] += _bdotT(relu_d, dpos)
-        dwd1_ref[:] += _bdotT(delta, dh_d)
+        mmT = _dot_accT if mm3 else _bdotT
+        dwg2_ref[:] += mmT(relu_g, dz)
+        dwg1_ref[:] += mmT(att_in, dh_g)
+        dwd2_ref[:] += mmT(relu_d, dpos)
+        dwd1_ref[:] += mmT(delta, dh_d)
         dbias_ref[:] += (
             jnp.where(iota_b == 0, jnp.sum(dh_d, axis=0)[None, :], 0.0)
             + jnp.where(iota_b == 1, jnp.sum(dpos, axis=0)[None, :], 0.0)
@@ -412,13 +480,21 @@ def _specs(N, Cp, D, k):
     return tile, full, shared, idx_spec
 
 
-def _cast_operands(xyz, q, key, val, wd1, wd2, wg1, wg2):
-    """bf16 for the value/MLP operands; f32 for xyz (selection) and q."""
+def _cast_operands(xyz, q, key, val, wd1, wd2, wg1, wg2,
+                   precise: bool = False, mm3: bool = False):
+    """bf16 for the value/MLP operands; f32 for xyz (selection) and q.
+
+    ``precise`` keeps key/val f32 (the kernels gather them exactly via
+    hi/lo 2-pass); weights stay f32 only when ``mm3`` also asks for 3-pass
+    MLP matmuls — in the 1-pass f32-faithful mode they are pre-truncated to
+    bf16, exactly what XLA's DEFAULT-precision f32 dot does on TPU."""
     bf = jnp.bfloat16
+    kv = jnp.float32 if precise else bf
+    w = jnp.float32 if (precise and mm3) else bf
     return (
         xyz.astype(jnp.float32), q.astype(jnp.float32),
-        key.astype(bf), val.astype(bf),
-        wd1.astype(bf), wd2.astype(bf), wg1.astype(bf), wg2.astype(bf),
+        key.astype(kv), val.astype(kv),
+        wd1.astype(w), wd2.astype(w), wg1.astype(w), wg2.astype(w),
     )
 
 
@@ -432,29 +508,43 @@ def _chunk(k: int, env: str, default: int) -> int:
     return next((c for c in range(min(want, k), 0, -1) if k % c == 0), 1)
 
 
+def _mm3() -> bool:
+    """Whether the f32-faithful mode should run the MLP matmuls as 3-pass
+    bf16 splits. Default OFF: measured on this TPU (tools/precision_probe.py)
+    XLA's DEFAULT-precision f32 dot IS a single-pass-bf16 truncation, so the
+    1-pass kernel already matches the XLA f32 path's matmul semantics;
+    SUG_VECATTN_F32_MM=3pass buys true-f32 matmuls at ~3x the MXU passes."""
+    return _os.environ.get("SUG_VECATTN_F32_MM", "1pass") == "3pass"
+
+
 def _fwd_pallas(xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k: int,
-                interpret: bool = False):
+                interpret: bool = False, precise: bool = False):
     """xyz (B, N, Cp) f32, q (B, N, D), key/val (B, N, D), wd1 (Cp, D),
     wd2/wg1/wg2 (D, D), bias (8, D). Returns out/m/l (B, N, D) f32 and
     idx_t (B, k, N) int32."""
     B, N, Cp = xyz.shape
     D = q.shape[-1]
+    mm3 = precise and _mm3()
     xyz, q, key, val, wd1, wd2, wg1, wg2 = _cast_operands(
-        xyz, q, key, val, wd1, wd2, wg1, wg2
+        xyz, q, key, val, wd1, wd2, wg1, wg2, precise, mm3
     )
     # analytic executed-MXU FLOPs (invisible to XLA cost_analysis): 3-pass
-    # distance tile + per-neighbor gathers (xyz 2 passes, key/val 1 each)
-    # and the two bf16 MLP chains (Cp->D, 3x D->D).
+    # distance tile + per-neighbor gathers (xyz 2 passes, key/val 1 each —
+    # 2 each when precise) and the two MLP chains (Cp->D, 3x D->D; 1 or 3
+    # passes).
     from sug_tpu.ops import flops as _flops
 
+    g = 4.0 if precise else 2.0
+    p = 3.0 if mm3 else 1.0
     _flops.record(
         "vecattn_fwd",
-        B * N * (6.0 * N * Cp + k * (4.0 * N * Cp + 4.0 * N * D
-                                     + 2.0 * Cp * D + 6.0 * D * D)),
+        B * N * (6.0 * N * Cp + k * (4.0 * N * Cp + g * N * D
+                                     + p * (2.0 * Cp * D + 6.0 * D * D))),
     )
     tile, full, shared, idx_spec = _specs(N, Cp, D, k)
     kernel = functools.partial(
-        _fwd_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_FWD_CHUNK", 16)
+        _fwd_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_FWD_CHUNK", 16),
+        precise=precise, mm3=mm3,
     )
     out, m, l, idx_t = pl.pallas_call(
         _squeeze_lead(kernel, 10),
@@ -479,22 +569,28 @@ def _fwd_pallas(xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k: int,
 
 
 def _bwd_pallas(idx_t, xyz, q, key, val, wd1, wd2, wg1, wg2, bias,
-                m, l, out, dout, interpret: bool = False):
+                m, l, out, dout, interpret: bool = False,
+                precise: bool = False):
     B, N, Cp = xyz.shape
     D = q.shape[-1]
     k = idx_t.shape[1]
+    mm3 = precise and _mm3()
     xyz, q, key, val, wd1b, wd2b, wg1b, wg2b = _cast_operands(
-        xyz, q, key, val, wd1, wd2, wg1, wg2
+        xyz, q, key, val, wd1, wd2, wg1, wg2, precise, mm3
     )
     # analytic executed-MXU FLOPs: input kernel (replay gathers+MLPs, gamma
     # backward, dkey/dval scatters) + weight kernel (replay, both MLP
     # backwards, 4 outer products) — see the kernel bodies for the terms.
     from sug_tpu.ops import flops as _flops
 
+    # key/val gathers: 2 gathers x 2 kernels x 2 flops x passes(1|2) = 8|16;
+    # dkey/dval scatters: 2 x 2 flops x passes(1|2) = 4|8.
+    gs = (16.0 + 8.0) if precise else (8.0 + 4.0)
+    p = 3.0 if mm3 else 1.0
     _flops.record(
         "vecattn_bwd",
-        B * N * k * (8.0 * N * Cp + 12.0 * N * D + 6.0 * Cp * D
-                     + 28.0 * D * D),
+        B * N * k * (8.0 * N * Cp + gs * N * D
+                     + p * (6.0 * Cp * D + 28.0 * D * D)),
     )
     tile, full, shared, idx_spec = _specs(N, Cp, D, k)
     grid = (B, N // TILE)
@@ -508,7 +604,8 @@ def _bwd_pallas(idx_t, xyz, q, key, val, wd1, wd2, wg1, wg2, bias,
         wg2b[None], bias[None], m, l, out, dout,
     )
     in_kernel = functools.partial(
-        _bwd_input_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_BWD_CHUNK", 8)
+        _bwd_input_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_BWD_CHUNK", 8),
+        precise=precise, mm3=mm3,
     )
     dq, dkey, dval = pl.pallas_call(
         _squeeze_lead(in_kernel, 15),
@@ -524,7 +621,8 @@ def _bwd_pallas(idx_t, xyz, q, key, val, wd1, wd2, wg1, wg2, bias,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*common_args)
     w_kernel = functools.partial(
-        _bwd_weight_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_BWD_CHUNK", 8)
+        _bwd_weight_kernel, k=k, unroll=_chunk(k, "SUG_VECATTN_BWD_CHUNK", 8),
+        precise=precise, mm3=mm3,
     )
     dwd1, dwd2, dwg1, dwg2, dbias = pl.pallas_call(
         _squeeze_lead(w_kernel, 15),
@@ -552,27 +650,28 @@ def _bwd_pallas(idx_t, xyz, q, key, val, wd1, wd2, wg1, wg2, bias,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def _vecattn_core(xyz, q, key, val, wd1, wd2, wg1, wg2, bias,
-                  k: int, interpret: bool = False):
+                  k: int, interpret: bool = False, precise: bool = False):
     out, _, _, _ = _fwd_pallas(
-        xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k, interpret
+        xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k, interpret, precise
     )
     return out
 
 
-def _vecattn_fwd(xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k, interpret):
+def _vecattn_fwd(xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k, interpret,
+                 precise):
     out, m, l, idx_t = _fwd_pallas(
-        xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k, interpret
+        xyz, q, key, val, wd1, wd2, wg1, wg2, bias, k, interpret, precise
     )
     return out, (xyz, q, key, val, wd1, wd2, wg1, wg2, bias, m, l, out, idx_t)
 
 
-def _vecattn_bwd(k, interpret, res, dout):
+def _vecattn_bwd(k, interpret, precise, res, dout):
     xyz, q, key, val, wd1, wd2, wg1, wg2, bias, m, l, out, idx_t = res
     dq, dkey, dval, dwd1, dwd2, dwg1, dwg2, dbias = _bwd_pallas(
         idx_t, xyz, q, key, val, wd1, wd2, wg1, wg2, bias, m, l, out,
-        dout, interpret,
+        dout, interpret, precise,
     )
     # xyz only selects neighbors + feeds the (parameter-free) delta path;
     # nothing upstream of xyz carries parameters -> zero cotangent.
@@ -589,7 +688,8 @@ _vecattn_core.defvjp(_vecattn_fwd, _vecattn_bwd)
 
 
 def fused_vector_attention(xyz, q, key, val, wd1, bd1, wd2, bd2, wg1, bg1,
-                           wg2, bg2, k: int, interpret: bool = False):
+                           wg2, bg2, k: int, interpret: bool = False,
+                           precise: bool = False):
     """Fused kNN + relative-position MLP + per-channel vector attention.
 
     Args:
@@ -599,6 +699,12 @@ def fused_vector_attention(xyz, q, key, val, wd1, bd1, wd2, bd2, wg1, bg1,
         wg1/bg1, wg2/bg2: gamma-MLP layers (softmax temperature 1/sqrt(D)
             is folded into wg2/bg2 here — callers pass RAW weights).
         k: neighbors (static). N must be a multiple of 128.
+        precise: f32-faithful mode — key/val gathered and scattered EXACTLY
+            (2-pass hi/lo splits; the bf16 mode truncates them to bf16),
+            f32 accumulation throughout; MLP matmuls stay single-pass bf16
+            (= XLA's DEFAULT f32 dot on TPU, measured) unless
+            SUG_VECATTN_F32_MM=3pass. Matches the XLA f32 path the way the
+            bf16 mode matches the bf16-policy path.
     Returns:
         (B, N, D) f32 attention output (softmax over each point's k nearest
         neighbors, per channel), matching the XLA path of
@@ -617,7 +723,7 @@ def fused_vector_attention(xyz, q, key, val, wd1, bd1, wd2, bd2, wg1, bg1,
     ).astype(jnp.float32)
     return _vecattn_core(
         xyz, q.astype(jnp.float32), key, val,
-        wd1, wd2, wg1, wg2 * s, bias, k, interpret,
+        wd1, wd2, wg1, wg2 * s, bias, k, interpret, precise,
     )
 
 

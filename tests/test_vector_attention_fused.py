@@ -154,6 +154,67 @@ class TestFusedVectorAttentionInterpret:
         assert _rel_l2(got, ref) < 2e-3
 
 
+class TestFusedVectorAttentionPrecise:
+    """f32-faithful mode: exact hi/lo key/val gathers + f32 accumulation.
+
+    With SUG_VECATTN_F32_MM=3pass the MLP matmuls are ~f32 too, so the
+    kernel must track the PURE-f32 reference tightly; in the default 1-pass
+    mode it matches at the bf16-matmul noise floor (that mode's contract is
+    'same semantics as XLA's DEFAULT f32 dot on TPU', which single-passes
+    bf16 — tools/precision_probe.py)."""
+
+    def test_forward_precise_3pass(self, monkeypatch):
+        monkeypatch.setenv("SUG_VECATTN_F32_MM", "3pass")
+        args = _data(n=128, seed=21)
+        ref = vector_attention_reference(*args, 8, bf16_mm=False)
+        got = fused_vector_attention(*args, 8, interpret=True, precise=True)
+        assert _rel_l2(got, ref) < 5e-5
+
+    def test_forward_precise_1pass(self):
+        args = _data(n=128, seed=22)
+        ref = vector_attention_reference(*args, 8, bf16_mm=False)
+        got = fused_vector_attention(*args, 8, interpret=True, precise=True)
+        # 1-pass MLP matmuls: bf16-level deviation from the pure-f32 math,
+        # but NO bf16 truncation of key/val (the bf16 mode's extra error)
+        bf16_mode = fused_vector_attention(*args, 8, interpret=True)
+        assert _rel_l2(got, ref) < 3e-3
+        assert _rel_l2(got, ref) <= _rel_l2(bf16_mode, ref)
+
+    def test_gradients_precise_3pass(self, monkeypatch):
+        monkeypatch.setenv("SUG_VECATTN_F32_MM", "3pass")
+        args = _data(n=128, seed=23)
+        k = 8
+        cot = jnp.asarray(
+            np.random.default_rng(13).normal(size=args[1].shape), jnp.float32
+        )
+
+        def loss(fn):
+            def inner(*diff_args):
+                out = fn(args[0], *diff_args, k)
+                return jnp.sum(out * cot)
+
+            return inner
+
+        diff = args[1:]
+        gf = jax.grad(
+            loss(lambda *a: fused_vector_attention(
+                *a, interpret=True, precise=True)),
+            argnums=tuple(range(len(diff))),
+        )(*diff)
+        g32 = jax.grad(
+            loss(lambda *a: vector_attention_reference(*a, bf16_mm=False)),
+            argnums=tuple(range(len(diff))),
+        )(*diff)
+        names = ("dq", "dkey", "dval", "dwd1", "dbd1", "dwd2", "dbd2",
+                 "dwg1", "dbg1", "dwg2", "dbg2")
+        scale = max(float(jnp.linalg.norm(g)) for g in g32)
+        for name, a, c in zip(names, gf, g32):
+            if name == "dbg2":
+                assert float(jnp.linalg.norm(a)) < 1e-3 * scale, name
+                continue
+            assert _rel_l2(a, c) < 2e-3, f"{name}: {_rel_l2(a, c):.5f}"
+
+
 class TestBlockEquivalence:
     """VectorAttentionBlock fused path == its XLA path, same params."""
 
