@@ -66,6 +66,9 @@ class AlternatingTrainer:
         from sug_tpu.models.precision import configure_from_cfg
 
         configure_from_cfg(self.cfg)
+        from sug_tpu.models import bn as _bn
+
+        _bn.configure_from_cfg(self.cfg, 1)
         self.criterion = criterion or cross_entropy
         self.src_weight = src_weight
         self.augment = augment

@@ -96,6 +96,11 @@ class DGTrainer:
         from sug_tpu.models.precision import configure_from_cfg
 
         configure_from_cfg(cfg)
+        # BN_SEMANTICS: per_replica reproduces the reference's unsynced
+        # DDP BatchNorm as grouped stats (models/bn.py); default global.
+        from sug_tpu.models import bn as _bn
+
+        _bn.configure_from_cfg(cfg, int(mesh.devices.size) if mesh is not None else 1)
         model_cfg = cfg.get("MODEL_CFG", None)
         self.model = NetMDA(
             model_name=model_name, num_class=num_class,

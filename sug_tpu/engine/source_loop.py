@@ -82,6 +82,9 @@ def run_source_training(args, cfg, num_points: int = 1024):
     from sug_tpu.models.precision import configure_from_cfg
 
     configure_from_cfg(cfg)
+    from sug_tpu.models import bn as _bn
+
+    _bn.configure_from_cfg(cfg, 1)
     if model_name == "KPConv":
         from sug_tpu.models.kpconv import check_neighbor_occupancy
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from sug_tpu.models.adapt_node import SelfAdaptiveNodeModule
 from sug_tpu.models.heads import ClassifierHead
+from sug_tpu.models.bn import batch_norm
 from sug_tpu.models.layers import ConvBN
 from sug_tpu.ops.geometry import get_graph_feature
 
@@ -88,19 +89,39 @@ class _EdgeConvBlock(nn.Module):
         ra_var = self.variable(
             "batch_stats", "bn_var", lambda: jnp.ones((F,), jnp.float32)
         )
-        if train:
-            M = B * N * K_NEIGHBORS
-            mean = jnp.sum(s1, axis=(0, 1)) / M
-            var = jnp.maximum(jnp.sum(s2, axis=(0, 1)) / M - mean * mean, 0.0)
-            if not self.is_initializing():
-                ra_mean.value = 0.9 * ra_mean.value + 0.1 * jax.lax.stop_gradient(mean)
-                ra_var.value = 0.9 * ra_var.value + 0.1 * jax.lax.stop_gradient(var)
-        else:
-            mean, var = ra_mean.value, ra_var.value
+        from sug_tpu.models.bn import bn_groups
 
-        inv = scale * jax.lax.rsqrt(var + 1e-5)  # signed per-channel slope
-        sel = jnp.where(inv >= 0, amax, amin)
-        y = sel * inv + (bias - mean * inv)
+        g = bn_groups() if train else 1
+        if train:
+            # per-replica BN (BN_SEMANTICS: per_replica): statistics over
+            # each of g contiguous batch groups — same math as the grouped
+            # BatchNorm in models/bn.py, fed by the kernel's s1/s2 sums.
+            M = (B // g) * N * K_NEIGHBORS
+            s1g = jnp.sum(s1.reshape(g, B // g, N, F), axis=(1, 2))  # (g, F)
+            s2g = jnp.sum(s2.reshape(g, B // g, N, F), axis=(1, 2))
+            mean = s1g / M
+            var = jnp.maximum(s2g / M - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * jax.lax.stop_gradient(
+                    jnp.mean(mean, axis=0)
+                )
+                ra_var.value = 0.9 * ra_var.value + 0.1 * jax.lax.stop_gradient(
+                    jnp.mean(var, axis=0)
+                )
+        else:
+            mean, var = ra_mean.value[None], ra_var.value[None]  # (1, F)
+
+        inv = scale * jax.lax.rsqrt(var + 1e-5)  # (g, F) signed slopes
+        off = bias - mean * inv  # (g, F)
+        if train and g > 1:
+            # expand per-group rows to their batch rows: (g, F) -> (B, 1, F)
+            rows = jnp.repeat(inv, B // g, axis=0)[:, None, :]
+            off_rows = jnp.repeat(off, B // g, axis=0)[:, None, :]
+        else:
+            rows = inv.reshape(1, 1, F)
+            off_rows = off.reshape(1, 1, F)
+        sel = jnp.where(rows >= 0, amax, amin)
+        y = sel * rows + off_rows
         return nn.leaky_relu(y, negative_slope=0.01)
 
 
@@ -132,9 +153,7 @@ class DGCNNGenerator(nn.Module):
 
         x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 512)
         x5 = nn.Dense(512, use_bias=False, name="conv5")(x_cat)
-        x5 = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn5"
-        )(x5)
+        x5 = batch_norm(train, name="bn5")(x5)
         x5 = nn.leaky_relu(x5, negative_slope=0.2)
         gmax = jnp.max(x5, axis=1)
         gavg = jnp.mean(x5, axis=1)
@@ -156,9 +175,7 @@ class DGCNNClassifier(nn.Module):
         x4 = _EdgeConvBlock(256, name="block4")(x3, train)
         x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
         x5 = nn.Dense(512, use_bias=False, name="conv5")(x_cat)
-        x5 = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn5"
-        )(x5)
+        x5 = batch_norm(train, name="bn5")(x5)
         x5 = nn.leaky_relu(x5, negative_slope=0.2)
         gmax = jnp.max(x5, axis=1)
         gavg = jnp.mean(x5, axis=1)

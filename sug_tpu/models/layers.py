@@ -43,12 +43,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from sug_tpu.models.bn import batch_norm
+
         dt = compute_dtype()
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=dt)(x)
         # flax BatchNorm computes batch statistics in f32 regardless of dtype
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
-        )(x)
+        x = batch_norm(train, dtype=dt)(x)
         return activation(x, self.act, self.negative_slope)
 
 
@@ -145,9 +145,9 @@ class CALayer(nn.Module):
         out = x * y + x
         # BN left at default dtype: f32 params promote the output back to f32
         # — the attended node features feed the MMD Grams, which stay f32.
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(
-            out
-        )
+        from sug_tpu.models.bn import batch_norm
+
+        return batch_norm(train)(out)
 
 
 def maxpool1d_strided(x: jax.Array, kernel: int, stride: int) -> jax.Array:

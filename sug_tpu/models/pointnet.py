@@ -42,9 +42,9 @@ class PointNetGenerator(nn.Module):
         x = ConvBN(128, name="conv4")(x, train)
         x = ConvBN(1024, name="conv5")(x, train)
         x = jnp.max(x, axis=1)  # (B, 1024)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
-        )(x)
+        from sug_tpu.models.bn import batch_norm
+
+        x = batch_norm(train, name="bn1")(x)
         return x, node_fea, node_off
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from sug_tpu.models.bn import batch_norm
 import jax
 import jax.numpy as jnp
 
@@ -222,11 +224,11 @@ class PointNet2Classifier(nn.Module):
         x = l3_feats.reshape(B, 1024)
         mid_feature = x
         x = nn.Dense(512, name="fc1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = batch_norm(train)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(256, name="fc2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = batch_norm(train)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         logits = nn.Dense(self.num_class, name="fc3")(x)

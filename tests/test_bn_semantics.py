@@ -1,0 +1,133 @@
+"""Per-replica BN semantics (sug_tpu/models/bn.py): the grouped BatchNorm
+must equal running the stock flax BatchNorm independently on each batch
+group — i.e. exactly what N unsynced DDP replicas compute (reference
+train_dg.py's DDP never syncs BN stats) — while keeping the param tree
+identical to the globally-exact default."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sug_tpu.models import bn as bn_mod
+
+
+@pytest.fixture(autouse=True)
+def _reset_groups():
+    yield
+    bn_mod.set_bn_groups(1)
+
+
+def _x(b=8, n=16, c=6, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, n, c)) * 2.0 + 0.5, jnp.float32)
+
+
+class TestGroupedBatchNorm:
+    def test_param_tree_invariant_to_semantics(self):
+        x = _x()
+        bn_mod.set_bn_groups(1)
+        v1 = bn_mod.batch_norm(True).init(jax.random.key(0), x)
+        bn_mod.set_bn_groups(4)
+        v4 = bn_mod.batch_norm(True).init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v4)
+
+    def test_groups_equal_independent_replicas(self):
+        g = 4
+        x = _x(b=8)
+        bn_mod.set_bn_groups(g)
+        mod = bn_mod.batch_norm(True)
+        variables = mod.init(jax.random.key(0), x)
+        out, mut = mod.apply(variables, x, mutable=["batch_stats"])
+
+        # reference: stock flax BatchNorm run per group independently
+        ref_mod = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        ref_vars = ref_mod.init(jax.random.key(0), x[:2])
+        outs, means, vars_ = [], [], []
+        for i in range(g):
+            xg = x[i * 2:(i + 1) * 2]
+            o, m = ref_mod.apply(ref_vars, xg, mutable=["batch_stats"])
+            outs.append(np.asarray(o))
+            means.append(np.asarray(m["batch_stats"]["mean"]))
+            vars_.append(np.asarray(m["batch_stats"]["var"]))
+        np.testing.assert_allclose(
+            np.asarray(out), np.concatenate(outs), rtol=1e-5, atol=1e-5
+        )
+        # running stats accumulate the across-group mean of group statistics
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]),
+            np.mean(means, axis=0), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["var"]),
+            np.mean(vars_, axis=0), rtol=1e-5, atol=1e-6,
+        )
+
+    def test_eval_uses_running_stats(self):
+        bn_mod.set_bn_groups(4)
+        x = _x()
+        train_mod = bn_mod.batch_norm(True)
+        variables = train_mod.init(jax.random.key(0), x)
+        _, mut = train_mod.apply(variables, x, mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": mut["batch_stats"]}
+        got = bn_mod.batch_norm(False).apply(variables, x)
+        ref = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5).apply(
+            variables, x
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    def test_batch_not_divisible_raises(self):
+        bn_mod.set_bn_groups(3)
+        x = _x(b=8)
+        with pytest.raises(ValueError, match="divisible"):
+            bn_mod.batch_norm(True).init(jax.random.key(0), x)
+
+
+class TestEdgeConvGroupedBN:
+    def test_edgeconv_block_groups_equal_split_runs(self, monkeypatch):
+        """The fused-formulation EdgeConv BN (models/dgcnn._EdgeConvBlock)
+        under g groups == running the block separately on each batch group
+        (the kNN graph is per-cloud, so only BN couples clouds)."""
+        from sug_tpu.models.dgcnn import _EdgeConvBlock
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 128, 8)), jnp.float32)
+        blk = _EdgeConvBlock(16)
+
+        bn_mod.set_bn_groups(2)
+        variables = blk.init(jax.random.key(0), x, True)
+        out_g, mut_g = blk.apply(variables, x, True, mutable=["batch_stats"])
+
+        bn_mod.set_bn_groups(1)
+        outs, means, vars_ = [], [], []
+        for i in range(2):
+            o, m = blk.apply(variables, x[i * 2:(i + 1) * 2], True,
+                             mutable=["batch_stats"])
+            outs.append(np.asarray(o))
+            means.append(np.asarray(m["batch_stats"]["bn_mean"]))
+            vars_.append(np.asarray(m["batch_stats"]["bn_var"]))
+        np.testing.assert_allclose(
+            np.asarray(out_g), np.concatenate(outs), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(mut_g["batch_stats"]["bn_mean"]),
+            np.mean(means, axis=0), rtol=1e-5, atol=1e-6,
+        )
+
+    def test_dgcnn_generator_runs_with_groups(self):
+        """Whole DGCNN DG generator traces and runs under per-replica BN."""
+        from sug_tpu.models.dgcnn import DGCNNGenerator
+
+        bn_mod.set_bn_groups(2)
+        rng = np.random.default_rng(5)
+        pc = jnp.asarray(rng.normal(size=(4, 128, 3)), jnp.float32)
+        gen = DGCNNGenerator()
+        variables = gen.init(jax.random.key(0), pc, True)
+        (feat, node, off), _ = gen.apply(
+            variables, pc, True, mutable=["batch_stats"]
+        )
+        assert np.isfinite(np.asarray(feat)).all()
