@@ -32,11 +32,23 @@ CFG = {
 }
 
 
-def make_data():
+def make_data(n: int = 40):
     rng = np.random.default_rng(42)
-    n = 40
     pts_s = rng.normal(size=(n, N_POINTS, 3)).astype(np.float32)
     lab_s = rng.integers(0, 10, n).astype(np.int64)
     pts_t = rng.normal(size=(n, N_POINTS, 3)).astype(np.float32)
     lab_t = rng.integers(0, 10, n).astype(np.int64)
     return pts_s, lab_s, pts_t, lab_t
+
+
+def padded_batches(it):
+    """Yield FULL-size batches from a drop_last=False BatchIterator, tiling
+    a short tail batch up to batch_size (every rank pads identically, so the
+    single-process reference can reproduce the exact global batches)."""
+    for data, label in it:
+        n = data.shape[0]
+        if n < it.batch_size:
+            reps = -(-it.batch_size // n)
+            data = np.concatenate([data] * reps)[: it.batch_size]
+            label = np.concatenate([label] * reps)[: it.batch_size]
+        yield data, label

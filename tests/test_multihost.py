@@ -203,3 +203,97 @@ class TestTwoProcessIntegration:
         # argmax near-ties amplify topology-dependent float-order noise, so
         # bitwise trajectories across topologies are not expected)
         np.testing.assert_allclose(results[0], losses, rtol=0.1, atol=1e-3)
+
+    def test_two_proc_four_dev_uneven_tail(self, tmp_path):
+        """2 procs x 4 devices each (8 global) over a FULL drop_last=False
+        epoch whose dataset size (n=41) leaves a short tail batch — the tail
+        is tiled to full size identically on every rank (padded_batches), so
+        both processes and a single-process reference must see the same
+        per-batch losses, including the tail step."""
+        import jax
+
+        if jax.default_backend() != "cpu":
+            pytest.skip("CPU-only integration test")
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coordinator = f"127.0.0.1:{port}"
+        global_batch, ds_n = 16, 41
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+        env["PYTHONPATH"] = REPO_ROOT
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO_ROOT, "tests", "_multihost_child.py"),
+                 coordinator, "2", str(r), str(global_batch), str(ds_n), "0"],
+                env=env, cwd=REPO_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"child rc={p.returncode}:\n{out}"
+
+        results, fixed_results = {}, {}
+        for out in outs:
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
+            d = json.loads(line)
+            results[d["proc"]] = d["losses"]
+            fixed_results[d["proc"]] = d["fixed_losses"]
+        # rank slice = ceil(41/2)=21 rows, local batch 8 -> 3 batches (tail 5)
+        assert len(results[0]) == 3
+        np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+        np.testing.assert_allclose(fixed_results[0], fixed_results[1], rtol=1e-6)
+
+        # single-process reference over the identical global batches
+        from sug_tpu.data.datasets import PointCloudDataset
+        from sug_tpu.data.sampler import BatchIterator
+        from sug_tpu.engine.dg_trainer import DGTrainer
+        from sug_tpu.parallel.mesh import make_mesh, shard_batch
+        from sug_tpu.utils.config import ConfigDict
+        from tests._multihost_common import CFG, make_data, N_POINTS, padded_batches
+
+        mesh = make_mesh(8)
+        pts_s, lab_s, pts_t, lab_t = make_data(ds_n)
+        ds_s = PointCloudDataset("modelnet", pts_s, lab_s, num_points=N_POINTS)
+        ds_t = PointCloudDataset("modelnet", pts_t, lab_t, num_points=N_POINTS)
+        local = global_batch // 2
+
+        def global_batches(ds, seed):
+            rank_iters = []
+            for r in range(2):
+                it = BatchIterator(ds, local, seed=seed, process_index=r,
+                                   process_count=2, drop_last=False)
+                it.set_epoch(0)
+                rank_iters.append(padded_batches(it))
+            for pair in zip(*rank_iters):
+                yield (
+                    np.concatenate([p[0] for p in pair]),
+                    np.concatenate([p[1] for p in pair]),
+                )
+
+        trainer = DGTrainer(ConfigDict(CFG), model_name="Pointnet", mesh=mesh, augment=True)
+        state0 = trainer.init_state(seed=0, batch_size=global_batch, num_points=N_POINTS)
+        fixed_losses = []
+        for (dsb, lsb), (dtb, ltb) in zip(global_batches(ds_s, 1), global_batches(ds_t, 2)):
+            dsb, lsb, dtb, ltb = shard_batch(
+                mesh, dsb, lsb.astype(np.int32), dtb, ltb.astype(np.int32)
+            )
+            _, m0 = trainer.train_step(
+                state0, dsb, lsb, dtb, ltb, jax.random.key(7), 1e-3, 1e-3, 1e-3,
+                mmd_on=True,
+            )
+            fixed_losses.append(float(m0["loss_total"]))
+        np.testing.assert_allclose(fixed_results[0], fixed_losses, rtol=1e-4, atol=1e-5)
