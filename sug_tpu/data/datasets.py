@@ -210,16 +210,66 @@ def create_splitted_dataset(
 # ---------------------------------------------------------------------------
 
 
+def _scan_degrade(pc: np.ndarray, rng: np.random.Generator,
+                  partial_view: float, occlusion: float,
+                  density_grad: float) -> np.ndarray:
+    """Scan-realism degradations for the synthetic benchmark (the failure
+    modes real PointDA-10 scannet objects exhibit — single-viewpoint
+    crops, occluded patches, nonuniform density — so transfer A/Bs stress
+    what real data will):
+
+    - partial_view: keep only the ``1-partial_view`` fraction of points
+      nearest a random camera direction (self-occlusion half-space crop);
+    - occlusion: delete the ``occlusion`` fraction around a random surface
+      point (an occluder blob);
+    - density_grad: thin points with probability decaying along a random
+      axis (scanner falloff), strength = the exp rate.
+
+    The survivors are resampled WITH replacement back to the original count
+    (real scannet ingest pads short clouds by duplication,
+    reference data/dataloader.py:207-217)."""
+    n = pc.shape[0]
+    keep = np.ones(n, dtype=bool)
+    if partial_view > 0:
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d) + 1e-9
+        proj = pc @ d
+        keep &= proj >= np.quantile(proj, partial_view)
+    if occlusion > 0:
+        center = pc[rng.integers(0, n)]
+        dist = np.linalg.norm(pc - center, axis=1)
+        k = int(occlusion * n)
+        if k > 0:
+            keep[np.argsort(dist)[:k]] = False
+    if density_grad > 0:
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d) + 1e-9
+        proj = pc @ d
+        span = proj.max() - proj.min() + 1e-9
+        p = np.exp(-density_grad * (proj - proj.min()) / span)
+        keep &= rng.uniform(size=n) < p
+    if keep.sum() < 16:  # degenerate crop — keep the original
+        return pc
+    survivors = pc[keep]
+    idx = rng.integers(0, survivors.shape[0], n)
+    return survivors[idx]
+
+
 def make_synthetic_pointda(
     num_per_class: int = 24,
     num_points: int = DEFAULT_NUM_POINTS,
     num_class: int = NUM_CLASS,
     seed: int = 0,
     noise: float = 0.02,
+    partial_view: float = 0.0,
+    occlusion: float = 0.0,
+    density_grad: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """10 geometrically distinguishable classes (spheres, cubes, cylinders,
     cones, tori, planes, ... parameterized by class index) for smoke
-    training — stands in for PointDA-10 where real data is unavailable."""
+    training — stands in for PointDA-10 where real data is unavailable.
+    ``partial_view``/``occlusion``/``density_grad`` add scan-realism domain
+    shift (_scan_degrade)."""
     rng = np.random.default_rng(seed)
     clouds, labels = [], []
     for c in range(num_class):
@@ -260,6 +310,8 @@ def make_synthetic_pointda(
                     ],
                     axis=1,
                 )
+            if partial_view > 0 or occlusion > 0 or density_grad > 0:
+                pc = _scan_degrade(pc, rng, partial_view, occlusion, density_grad)
             pc = pc + rng.normal(0, noise, pc.shape)
             clouds.append(pc.astype(np.float32))
             labels.append(c)

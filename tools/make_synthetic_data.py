@@ -27,21 +27,37 @@ DOMAIN_PARAMS = {
     "scannet": (0.06, 2),
 }
 
+# --hard: scan-realism degradations per domain (partial_view, occlusion,
+# density_grad — sug_tpu/data/datasets._scan_degrade). modelnet stays a
+# clean CAD-like source; shapenet gets mild density falloff; scannet gets
+# the full single-view + occluder + falloff treatment real scans show.
+HARD_PARAMS = {
+    "modelnet": (0.0, 0.0, 0.0),
+    "shapenet": (0.0, 0.05, 1.0),
+    "scannet": (0.35, 0.15, 2.0),
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data/PointDA_data")
     ap.add_argument("--per-class", type=int, default=32)
     ap.add_argument("--points", type=int, default=1024)
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="add partial-view / occlusion / density-shift degradations "
+             "(scan realism — the transfer A/B benchmark set)",
+    )
     args = ap.parse_args()
 
     for ds, (noise, off) in DOMAIN_PARAMS.items():
+        pv, occ, dg = HARD_PARAMS[ds] if args.hard else (0.0, 0.0, 0.0)
         out = os.path.join(args.root, ds)
         os.makedirs(out, exist_ok=True)
         for split, n in (("train", args.per_class), ("test", max(args.per_class // 2, 4))):
             pts, labels = make_synthetic_pointda(
                 num_per_class=n, num_points=args.points, seed=100 * off + (split == "test"),
-                noise=noise,
+                noise=noise, partial_view=pv, occlusion=occ, density_grad=dg,
             )
             np.save(os.path.join(out, f"{split}_pts.npy"), pts)
             np.save(os.path.join(out, f"{split}_label.npy"), labels)
