@@ -521,15 +521,20 @@ def _fwd_pallas(q, kv, u, v, k: int, interpret: bool = False,
     _flops.record("edgeconv_fwd", B * S * N * (6.0 * C + 2.0 * p * Fp * k))
 
     # Two forward kernels (SUG_EDGECONV_FWD_MODE):
-    #   loop (default) — per-neighbor gather matmuls, full unroll up to k=24
+    #   loop — per-neighbor gather matmuls, full unroll up to k=24
     #     and a chunked window beyond (SUG_EDGECONV_FWD_UNROLL=0 forces
     #     unroll=1); the unrolled loop already software-pipelines gathers
     #     against the next argmax;
     #   batched — two-stage windowed selection + one gather matmul per
     #     window, mirroring the backward's winning structure
-    #     (SUG_EDGECONV_FWD_WINDOW bounds the one-hot block). Default stays
-    #     "loop" until the batched variant is measured faster on v5e.
-    fwd_mode = _os.environ.get("SUG_EDGECONV_FWD_MODE", "loop")
+    #     (SUG_EDGECONV_FWD_WINDOW bounds the one-hot block);
+    #   auto (default) — batched for narrow features (Fp <= 128), loop for
+    #     wide. v5e A/B (tools/fwd_mode_ab.py, B=32 N=1024 k=20): F=64
+    #     batched 17.96 ms vs loop 136.35 ms (7.6x); F=256 loop 29.11 vs
+    #     batched 30.08 (loop 1.03x); F=256 bf16 loop 17.96 vs 19.14.
+    fwd_mode = _os.environ.get("SUG_EDGECONV_FWD_MODE", "auto")
+    if fwd_mode == "auto":
+        fwd_mode = "batched" if Fp <= 128 else "loop"
     compiler_params = None
     if fwd_mode == "batched":
         want = int(_os.environ.get("SUG_EDGECONV_FWD_WINDOW", "32"))

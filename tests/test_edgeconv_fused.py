@@ -84,7 +84,8 @@ class TestForwardModes:
     window split."""
 
     @pytest.mark.parametrize(
-        "mode,window", [("loop", None), ("batched", "2"), ("batched", "8")]
+        "mode,window",
+        [("loop", None), ("batched", "2"), ("batched", "8"), ("auto", None)],
     )
     def test_mode_matches_reference(self, monkeypatch, mode, window):
         monkeypatch.setenv("SUG_EDGECONV_FWD_MODE", mode)
