@@ -78,7 +78,9 @@ class AlternatingTrainer:
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         )
         self.masks = None
-        self._train_step = jax.jit(self._step)
+        from sug_tpu.utils.sanitize import checkify_jit
+
+        self._train_step = checkify_jit(self._step)
 
     def init_state(self, seed: int, batch_size: int, num_points: int) -> AltTrainState:
         dummy = jnp.zeros((batch_size, num_points, 3), dtype=jnp.float32)

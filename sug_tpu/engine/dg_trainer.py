@@ -128,11 +128,15 @@ class DGTrainer:
                 in_shardings=(rep, (bsh, bsh, bsh, bsh), rep, rep),
                 out_shardings=rep,
             )
-        self._train_step_cls = jax.jit(
+        # checkify_jit == jax.jit unless SUG_DETECT_ANOMALY=1 (the sanitizer
+        # analog of the reference's set_detect_anomaly, train_dg.py:266)
+        from sug_tpu.utils.sanitize import checkify_jit
+
+        self._train_step_cls = checkify_jit(
             functools.partial(self._train_step, mmd_on=False),
             **self._jit_kwargs, **self._donate,
         )
-        self._train_step_full = jax.jit(
+        self._train_step_full = checkify_jit(
             functools.partial(self._train_step, mmd_on=True),
             **self._jit_kwargs, **self._donate,
         )

@@ -63,7 +63,9 @@ class SourceTrainer:
         if donate:
             # alias the state buffers into the step outputs (HBM headroom)
             jit_kwargs["donate_argnums"] = (0,)
-        self._train_step = jax.jit(self._step, **jit_kwargs)
+        from sug_tpu.utils.sanitize import checkify_jit
+
+        self._train_step = checkify_jit(self._step, **jit_kwargs)
 
     def init_state(self, seed: int, batch_size: int, num_points: int) -> SourceTrainState:
         dummy = jnp.zeros((batch_size, num_points, 3), dtype=jnp.float32)
