@@ -68,7 +68,8 @@ class AlternatingTrainer:
         configure_from_cfg(self.cfg)
         from sug_tpu.models import bn as _bn
 
-        _bn.configure_from_cfg(self.cfg, 1)
+        # snapshot + re-assert pattern: see models/bn.py docstring
+        self._bn_groups = _bn.configure_from_cfg(self.cfg, 1)
         self.criterion = criterion or cross_entropy
         self.src_weight = src_weight
         self.augment = augment
@@ -83,6 +84,9 @@ class AlternatingTrainer:
         self._train_step = checkify_jit(self._step)
 
     def init_state(self, seed: int, batch_size: int, num_points: int) -> AltTrainState:
+        from sug_tpu.models import bn as _bn
+
+        _bn.set_bn_groups(self._bn_groups)
         dummy = jnp.zeros((batch_size, num_points, 3), dtype=jnp.float32)
         variables = self.model.init(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
@@ -210,6 +214,9 @@ class AlternatingTrainer:
             jnp.asarray(lr_dis, jnp.float32),
             jnp.asarray(cons, jnp.float32),
         )
+        from sug_tpu.models import bn as _bn
+
+        _bn.set_bn_groups(self._bn_groups)  # trace-time mailbox (bn.py)
         return self._train_step(state, batch, key, scalars)
 
     def eval_apply(self, params, batch_stats, data):

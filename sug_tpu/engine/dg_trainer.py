@@ -100,7 +100,12 @@ class DGTrainer:
         # DDP BatchNorm as grouped stats (models/bn.py); default global.
         from sug_tpu.models import bn as _bn
 
-        _bn.configure_from_cfg(cfg, int(mesh.devices.size) if mesh is not None else 1)
+        # snapshot the effective group count: train_step/init_state re-assert
+        # it before tracing, so another trainer configured in between cannot
+        # leak its BN semantics into this trainer's trace (bn.py docstring)
+        self._bn_groups = _bn.configure_from_cfg(
+            cfg, int(mesh.devices.size) if mesh is not None else 1
+        )
         model_cfg = cfg.get("MODEL_CFG", None)
         self.model = NetMDA(
             model_name=model_name, num_class=num_class,
@@ -143,6 +148,9 @@ class DGTrainer:
 
     # ------------------------------------------------------------------
     def init_state(self, seed: int, batch_size: int, num_points: int) -> DGTrainState:
+        from sug_tpu.models import bn as _bn
+
+        _bn.set_bn_groups(self._bn_groups)
         dummy = jnp.zeros((batch_size, num_points, 3), dtype=jnp.float32)
         variables = self.model.init(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
@@ -362,5 +370,8 @@ class DGTrainer:
             jnp.asarray(lr_dis, jnp.float32),
             jnp.asarray(grl_const, jnp.float32),
         )
+        from sug_tpu.models import bn as _bn
+
+        _bn.set_bn_groups(self._bn_groups)  # trace-time mailbox (bn.py)
         fn = self._train_step_full if mmd_on else self._train_step_cls
         return fn(state, batch, key, scalars)

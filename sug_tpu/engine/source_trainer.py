@@ -42,6 +42,12 @@ class SourceTrainer:
         donate: bool = False,
     ):
         self.model = make_classifier(model_name, num_class)
+        # snapshot whatever BN semantics the caller configured (source_loop
+        # runs bn.configure_from_cfg before constructing the trainer);
+        # init_state/train_step re-assert it around tracing (bn.py docstring)
+        from sug_tpu.models import bn as _bn
+
+        self._bn_groups = _bn.bn_groups()
         self.model_name = model_name
         self.num_class = num_class
         self.criterion = criterion or cross_entropy
@@ -68,6 +74,9 @@ class SourceTrainer:
         self._train_step = checkify_jit(self._step, **jit_kwargs)
 
     def init_state(self, seed: int, batch_size: int, num_points: int) -> SourceTrainState:
+        from sug_tpu.models import bn as _bn
+
+        _bn.set_bn_groups(self._bn_groups)
         dummy = jnp.zeros((batch_size, num_points, 3), dtype=jnp.float32)
         variables = self.model.init(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
@@ -123,6 +132,9 @@ class SourceTrainer:
     def train_step(
         self, state, data, label, key, lr: float
     ) -> Tuple[SourceTrainState, Dict[str, jax.Array]]:
+        from sug_tpu.models import bn as _bn
+
+        _bn.set_bn_groups(self._bn_groups)  # trace-time mailbox (bn.py)
         return self._train_step(
             state,
             jnp.asarray(data),

@@ -22,8 +22,12 @@ batch_stats mean/var), so checkpoints, the 3-group optimizer masks, and the
 torch weight-transplant converter are unaffected by the switch.
 
 Group state is process-global and read at TRACE time (like
-models/precision.py) — the trainers set it from the config before the first
-jit.
+models/precision.py). It is a trace-time MAILBOX, not the source of truth:
+each trainer snapshots the effective group count at construction
+(``configure_from_cfg`` returns it) and re-asserts it via ``set_bn_groups``
+before every call that can trigger a trace (init_state / train_step /
+eval), so interleaved trainers with different BN semantics in one process
+each trace with their own groups — latest-configure no longer wins.
 """
 
 from __future__ import annotations
@@ -34,45 +38,67 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-_STATE = {"groups": 1}
+# mode is a tri-state: "unset" (default — the SUG_BN_GROUPS env override
+# applies) vs "configured" (an explicit set_bn_groups/BN_SEMANTICS decision
+# — env is ignored, even for groups == 1).
+_STATE = {"groups": 1, "mode": "unset"}
 
 
 def set_bn_groups(n: int) -> None:
-    """Set the number of per-replica BN groups (1 = globally-exact stats)."""
+    """Set the number of per-replica BN groups (1 = globally-exact stats).
+
+    Marks the state explicitly configured: SUG_BN_GROUPS no longer applies.
+    """
     if n < 1:
         raise ValueError(f"BN groups must be >= 1, got {n}")
     _STATE["groups"] = int(n)
+    _STATE["mode"] = "configured"
+
+
+def reset_bn_groups() -> None:
+    """Back to the unset default (groups=1, env override honored)."""
+    _STATE["groups"] = 1
+    _STATE["mode"] = "unset"
 
 
 def bn_groups() -> int:
-    """Current BN group count; SUG_BN_GROUPS env overrides when unset."""
-    if _STATE["groups"] == 1:
+    """Current BN group count; SUG_BN_GROUPS env overrides only while the
+    state is UNSET (an explicit ``BN_SEMANTICS: global`` beats the env)."""
+    if _STATE["mode"] == "unset":
         env = os.environ.get("SUG_BN_GROUPS", "")
         if env.isdigit() and int(env) > 1:
             return int(env)
     return _STATE["groups"]
 
 
-def configure_from_cfg(cfg, mesh_devices: int) -> None:
+def configure_from_cfg(cfg, mesh_devices: int) -> int:
     """Read ``MODEL_CFG.BN_SEMANTICS`` ('global' | 'per_replica').
 
     per_replica groups = the mesh's device count; ``MODEL_CFG.BN_GROUPS``
     overrides it explicitly — that lets a SINGLE chip emulate the BN
-    statistics an N-replica DDP run would compute (the accuracy A/B)."""
-    sem, groups = "global", None
-    try:
-        model_cfg = cfg.get("MODEL_CFG", None) if cfg is not None else None
-        if model_cfg is not None:
-            sem = str(model_cfg.get("BN_SEMANTICS", "global")).lower()
-            groups = model_cfg.get("BN_GROUPS", None)
-    except AttributeError:
-        return
+    statistics an N-replica DDP run would compute (the accuracy A/B).
+
+    A cfg WITHOUT an explicit BN_SEMANTICS resets to the unset default (so
+    a stale per_replica state from a previous trainer cannot leak, and the
+    SUG_BN_GROUPS env override stays honored). Malformed MODEL_CFG raises.
+    Returns the effective group count for the caller to snapshot.
+    """
+    model_cfg = cfg.get("MODEL_CFG", None) if cfg is not None else None
+    if model_cfg is not None and not hasattr(model_cfg, "get"):
+        raise ValueError(f"MODEL_CFG is not a mapping: {model_cfg!r}")
+    sem = model_cfg.get("BN_SEMANTICS", None) if model_cfg is not None else None
+    if sem is None:
+        reset_bn_groups()
+        return bn_groups()
+    sem = str(sem).lower()
+    groups = model_cfg.get("BN_GROUPS", None)
     if sem == "per_replica":
         set_bn_groups(int(groups) if groups else max(mesh_devices, 1))
     elif sem == "global":
         set_bn_groups(1)
     else:
         raise ValueError(f"unknown BN_SEMANTICS {sem!r}")
+    return bn_groups()
 
 
 class BatchNorm(nn.Module):

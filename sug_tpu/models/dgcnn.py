@@ -96,6 +96,10 @@ class _EdgeConvBlock(nn.Module):
             # per-replica BN (BN_SEMANTICS: per_replica): statistics over
             # each of g contiguous batch groups — same math as the grouped
             # BatchNorm in models/bn.py, fed by the kernel's s1/s2 sums.
+            if B % g != 0:
+                raise ValueError(
+                    f"batch {B} not divisible by {g} BN replica groups"
+                )
             M = (B // g) * N * K_NEIGHBORS
             s1g = jnp.sum(s1.reshape(g, B // g, N, F), axis=(1, 2))  # (g, F)
             s2g = jnp.sum(s2.reshape(g, B // g, N, F), axis=(1, 2))

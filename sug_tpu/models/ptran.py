@@ -71,6 +71,17 @@ def _vecattn_mode(n: int, d_model: int):
         return ("interpret" if shapes_ok else "xla"), precise
     if mode == "1":
         return ("fused" if shapes_ok else "xla"), precise
+    # auto + f32: the "matches the XLA f32 path" contract holds because
+    # XLA's DEFAULT f32 dot is single-pass bf16 on this TPU (measured,
+    # tools/precision_probe.py) — if the session raised
+    # jax_default_matmul_precision, the XLA reference path upgrades while
+    # the fused kernel would not, so fall back to XLA rather than silently
+    # diverge. (SUG_FUSED_VECATTN=1 + SUG_VECATTN_F32_MM=3pass force-fuses
+    # with ~f32 matmuls if wanted.)
+    if precise:
+        dmp = jax.config.jax_default_matmul_precision
+        if dmp is not None and str(dmp).lower() not in ("default", "bfloat16"):
+            return "xla", precise
     return (
         "fused"
         if shapes_ok and jax.default_backend() == "tpu"

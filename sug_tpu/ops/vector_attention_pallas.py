@@ -123,16 +123,19 @@ def _dot_accT(aT, b):
 
 
 def _hilo(a):
-    """Hoisted hi/lo bf16 pair for exact 2-pass gathers of an f32 block."""
+    """Hoisted hi/lo bf16 pair for near-exact (~2^-17 rel — the 2-term bf16
+    split carries ~16 mantissa bits, not f32's 24) 2-pass gathers of an f32
+    block."""
     hi = a.astype(jnp.bfloat16)
     return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
 def _scatter2(onehotT, v):
-    """EXACT scatter of f32 rows v (TILE, D) through a transposed one-hot
-    (N, TILE): the one-hot's 0/1 entries are bf16-representable, so two
-    single-pass matmuls against v's hi/lo split reproduce v bit-exactly —
-    the f32-faithful mode's dkey/dval accumulation."""
+    """Near-exact scatter of f32 rows v (TILE, D) through a transposed
+    one-hot (N, TILE): the one-hot's 0/1 entries are bf16-representable, so
+    two single-pass matmuls against v's hi/lo split reproduce v to ~2^-17
+    relative error (the residual v - bf16(v) is itself re-rounded to bf16;
+    NOT bit-exact) — the f32-faithful mode's dkey/dval accumulation."""
     v_hi, v_lo = _hilo(v)
     return jnp.dot(onehotT, v_hi, preferred_element_type=jnp.float32) + jnp.dot(
         onehotT, v_lo, preferred_element_type=jnp.float32
@@ -285,8 +288,8 @@ def _bwd_input_kernel(idx_ref, xyz_tile_ref, xyzb_ref, q_ref, key_ref,
     datt (-> dq, -dkey_j) and dvpos gives dval_j. The delta-MLP chain is
     NOT needed here: pos depends only on weights and xyz, and xyz gets a
     zero cotangent by design. dkey/dval scatter via transposed one-hots
-    into per-batch-revisited output blocks (exact 2-pass hi/lo scatters
-    when ``precise``).
+    into per-batch-revisited output blocks (near-exact ~2^-17-rel 2-pass
+    hi/lo scatters when ``precise``).
     """
     t = pl.program_id(1)
     xyz_tile = xyz_tile_ref[:]
@@ -699,8 +702,9 @@ def fused_vector_attention(xyz, q, key, val, wd1, bd1, wd2, bd2, wg1, bg1,
         wg1/bg1, wg2/bg2: gamma-MLP layers (softmax temperature 1/sqrt(D)
             is folded into wg2/bg2 here — callers pass RAW weights).
         k: neighbors (static). N must be a multiple of 128.
-        precise: f32-faithful mode — key/val gathered and scattered EXACTLY
-            (2-pass hi/lo splits; the bf16 mode truncates them to bf16),
+        precise: f32-faithful mode — key/val gathered and scattered
+            near-exactly (~2^-17 rel, 2-pass hi/lo splits; the bf16 mode
+            truncates them to bf16),
             f32 accumulation throughout; MLP matmuls stay single-pass bf16
             (= XLA's DEFAULT f32 dot on TPU, measured) unless
             SUG_VECATTN_F32_MM=3pass. Matches the XLA f32 path the way the

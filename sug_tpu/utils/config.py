@@ -90,7 +90,7 @@ def cfg_from_yaml_file(cfg_file: str, config: ConfigDict) -> ConfigDict:
 _CREATABLE_SET_ROOTS = ("MODEL_CFG", "PRECISION")
 # exact dotted paths that may also be created (extension leaves under
 # otherwise-strict blocks)
-_CREATABLE_SET_PATHS = ("DATASET.FIXED_X_ROTATION",)
+_CREATABLE_SET_PATHS = ("DATASET.FIXED_X_ROTATION", "RANDOM_SEED")
 
 
 def cfg_from_list(cfg_list, config: ConfigDict) -> None:
@@ -197,7 +197,13 @@ def resolve_seed(args, cfg=None) -> int:
 
     Fixed: the reference's deterministic seed. Unfixed: fresh OS entropy per
     run — the reference leaves its RNGs unseeded in that case.
+
+    ``--set RANDOM_SEED N`` takes precedence over both: multi-seed A/B
+    matrices need an explicit seed per run (the reference offers only the
+    hardcoded 666).
     """
+    if cfg is not None and cfg.get("RANDOM_SEED") is not None:
+        return int(cfg["RANDOM_SEED"]) + (int(cfg.get("LOCAL_RANK", 0)))
     if getattr(args, "fix_random_seed", False):
         local_rank = int(cfg.get("LOCAL_RANK", 0)) if cfg is not None else 0
         return 666 + local_rank

@@ -19,7 +19,7 @@ from sug_tpu.models import bn as bn_mod
 @pytest.fixture(autouse=True)
 def _reset_groups():
     yield
-    bn_mod.set_bn_groups(1)
+    bn_mod.reset_bn_groups()
 
 
 def _x(b=8, n=16, c=6, seed=0):
@@ -131,3 +131,58 @@ class TestEdgeConvGroupedBN:
             variables, pc, True, mutable=["batch_stats"]
         )
         assert np.isfinite(np.asarray(feat)).all()
+
+
+class TestConfigureTriState:
+    """Round-5 ADVICE fixes: tri-state env override, stale-state reset,
+    malformed-cfg raise, and the trainer snapshot/re-assert contract."""
+
+    def test_env_override_only_when_unset(self, monkeypatch):
+        monkeypatch.setenv("SUG_BN_GROUPS", "4")
+        bn_mod.reset_bn_groups()
+        assert bn_mod.bn_groups() == 4  # unset -> env applies
+        bn_mod.set_bn_groups(1)  # explicit global
+        assert bn_mod.bn_groups() == 1  # explicit beats env
+
+    def test_explicit_global_cfg_beats_env(self, monkeypatch):
+        monkeypatch.setenv("SUG_BN_GROUPS", "8")
+        g = bn_mod.configure_from_cfg(
+            {"MODEL_CFG": {"BN_SEMANTICS": "global"}}, 4
+        )
+        assert g == 1
+
+    def test_cfg_without_semantics_resets_stale_state(self):
+        bn_mod.set_bn_groups(8)  # a previous trainer's per_replica state
+        g = bn_mod.configure_from_cfg({"METHODS": {}}, 1)
+        assert g == 1  # fresh default, not the stale 8
+
+    def test_malformed_model_cfg_raises(self):
+        with pytest.raises(ValueError, match="not a mapping"):
+            bn_mod.configure_from_cfg({"MODEL_CFG": "per_replica"}, 1)
+
+    def test_configure_returns_groups(self):
+        g = bn_mod.configure_from_cfg(
+            {"MODEL_CFG": {"BN_SEMANTICS": "per_replica", "BN_GROUPS": 2}}, 1
+        )
+        assert g == 2
+
+    def test_trainer_snapshot_survives_interleaved_configure(self):
+        """Two trainers with different BN semantics in one process: the
+        second configure must not leak into the first trainer's trace."""
+        from sug_tpu.engine.dg_trainer import DGTrainer
+
+        cfg_pr = {
+            "MODEL_CFG": {"BN_SEMANTICS": "per_replica", "BN_GROUPS": 2},
+            "METHODS": {"GRL": False},
+            "OPTIMIZATION": {"WEIGHT_DECAY": 0.0},
+        }
+        cfg_gl = {"METHODS": {"GRL": False},
+                  "OPTIMIZATION": {"WEIGHT_DECAY": 0.0}}
+        t_pr = DGTrainer(cfg_pr, model_name="Pointnet", augment=False)
+        t_gl = DGTrainer(cfg_gl, model_name="Pointnet", augment=False)  # clobbers global state
+        assert t_pr._bn_groups == 2 and t_gl._bn_groups == 1
+        # first trace happens NOW, after the second configure ran:
+        state = t_pr.init_state(seed=0, batch_size=4, num_points=64)
+        assert bn_mod.bn_groups() == 2  # re-asserted by init_state
+        state2 = t_gl.init_state(seed=0, batch_size=4, num_points=64)
+        assert bn_mod.bn_groups() == 1

@@ -55,6 +55,22 @@ class TestConfigListOverride:
         assert cfg.A.B.x == 7
         assert cfg.A.B.y == 3.5
 
+    def test_random_seed_creatable_and_wins(self):
+        """--set RANDOM_SEED N is creatable (absent from every shipped
+        YAML) and beats --fix_random_seed in resolve_seed — the multi-seed
+        A/B matrices need per-run explicit seeds."""
+        import argparse
+
+        from sug_tpu.utils.config import resolve_seed
+
+        cfg = ConfigDict({"LOCAL_RANK": 0})
+        cfg_from_list(["RANDOM_SEED", "1234"], cfg)
+        assert cfg.RANDOM_SEED == 1234
+        args = argparse.Namespace(fix_random_seed=True)
+        assert resolve_seed(args, cfg) == 1234
+        del cfg["RANDOM_SEED"]
+        assert resolve_seed(args, cfg) == 666
+
 
 @pytest.mark.skipif(
     not __import__("sug_tpu.native", fromlist=["is_available"]).is_available(),
