@@ -30,9 +30,14 @@ over K steps).
 MFU accounting: XLA's cost_analysis() cannot see FLOPs inside Pallas custom
 calls, so the compiled step's XLA FLOPs are combined with per-kernel analytic
 MXU-matmul FLOPs recorded at trace time (sug_tpu/ops/flops.py). Both are
-reported (``mfu_xla_pct`` / ``mfu_pct``); the >100% sanity gate runs on the
-kernel-inclusive total, and the script REFUSES to print a throughput whose
-implied total MFU exceeds 100%.
+reported. Naming is deliberate: ``mxu_util_pct`` is EXECUTED-MXU-FLOP
+utilization (it counts the kernels' one-hot gather/scatter matmuls — real
+silicon work, but ~30x the algorithmic FLOPs), while ``mfu_model_pct`` is
+MFU in the standard model-FLOP sense (the XLA-visible algorithmic FLOPs).
+Compare other systems' MFU against ``mfu_model_pct``, never against
+``mxu_util_pct``. The >100% sanity gate runs on the hardware
+(kernel-inclusive) total, and the script REFUSES to print a throughput whose
+implied utilization exceeds 100%.
 
 vs_baseline: ratio against BENCH_BASELINE.json (the measured PyTorch
 reference, tools/bench_torch_reference.py) when present, else against the
@@ -138,8 +143,9 @@ def probe() -> dict:
 def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
             scan_steps: int = 20, dtype: str = "f32") -> dict:
     """Returns {'ms_per_step', 'clouds_per_sec', 'flops_per_step' (XLA),
-    'kernel_flops_per_step' (analytic, Pallas), 'tflops', 'mfu_pct' (total),
-    'mfu_xla_pct'} for one compiled DG train step."""
+    'kernel_flops_per_step' (analytic, Pallas), 'tflops', 'mxu_util_pct'
+    (executed-MXU utilization, kernel-inclusive), 'mfu_model_pct' (standard
+    model-FLOP MFU, XLA-visible)} for one compiled DG train step."""
     if _fake_mode() == "hang":
         time.sleep(100000)
     if _fake_mode() == "fail":
@@ -149,7 +155,7 @@ def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
     if _fake_mode() == "ok":
         return {"ms_per_step": 100.0, "clouds_per_sec": 2 * batch / 0.1,
                 "flops_per_step": 1e12, "kernel_flops_per_step": 0.0,
-                "tflops": 10.0, "mfu_pct": 5.0, "mfu_xla_pct": 5.0}
+                "tflops": 10.0, "mxu_util_pct": 5.0, "mfu_model_pct": 5.0}
 
     import jax
     import jax.numpy as jnp
@@ -225,8 +231,8 @@ def measure(model_name: str = "DGCNN", batch: int = 64, n_points: int = 1024,
         "flops_per_step": xla_flops,
         "kernel_flops_per_step": kflops,
         "tflops": tflops,
-        "mfu_pct": mfu,
-        "mfu_xla_pct": mfu_xla,
+        "mxu_util_pct": mfu,
+        "mfu_model_pct": mfu_xla,
     }
 
 
@@ -420,7 +426,8 @@ def main():
                 print(f"{model} (B={batch}+{batch}): FAILED: {rr['error']}",
                       file=sys.stderr)
                 continue
-            mfu = f", {rr['mfu_pct']:.1f}% MFU" if rr["mfu_pct"] is not None else ""
+            mfu = (f", {rr['mxu_util_pct']:.1f}% MXU-util"
+                   if rr["mxu_util_pct"] is not None else "")
             print(
                 f"{model} (B={batch}+{batch}): {rr['clouds_per_sec']:.0f} clouds/sec/chip "
                 f"({rr['ms_per_step']:.1f} ms/step, {rr['tflops']:.1f} TFLOP/s{mfu})",
@@ -439,8 +446,8 @@ def main():
                 "ms_per_step": round(r["ms_per_step"], 2),
                 "step_tflop_xla": round(r["flops_per_step"] / 1e12, 3),
                 "step_tflop_kernels": round(r.get("kernel_flops_per_step", 0.0) / 1e12, 3),
-                "mfu_pct": round(r["mfu_pct"], 2) if r.get("mfu_pct") is not None else None,
-                "mfu_xla_pct": round(r["mfu_xla_pct"], 2) if r.get("mfu_xla_pct") is not None else None,
+                "mxu_util_pct": round(r["mxu_util_pct"], 2) if r.get("mxu_util_pct") is not None else None,
+                "mfu_model_pct": round(r["mfu_model_pct"], 2) if r.get("mfu_model_pct") is not None else None,
                 **extra,
                 "baseline_note": note,
             }

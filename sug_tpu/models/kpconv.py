@@ -119,11 +119,30 @@ LEVEL_FRACTIONS = (1, 4, 16, 32, 64)  # N / frac per level
 NEIGHBOR_LIMITS = (24, 24, 24, 24, 16)
 
 
+def _morton3(v: jax.Array) -> jax.Array:
+    """Interleave the low 10 bits of 3 int32 voxel coords (..., 3) into a
+    Morton (Z-order) code < 2**30. Hierarchical by construction:
+    ``_morton3(v >> 1) == _morton3(v) >> 3``."""
+
+    def spread(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    return (
+        (spread(v[..., 0]) << 2) | (spread(v[..., 1]) << 1) | spread(v[..., 2])
+    )
+
+
 def grid_subsample_fixed(
     pc: jax.Array,
     dl: float,
     capacity: int,
     valid: Optional[jax.Array] = None,
+    pre_sorted: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fixed-capacity voxel-grid subsampling with segment-mean centroids.
 
@@ -135,6 +154,19 @@ def grid_subsample_fixed(
     spatial coverage; invalid slots are pushed to distinct far-away sentinels
     so they never fall inside any downstream radius.
 
+    ``pre_sorted``: promise that the VALID rows of ``pc`` are already in
+    voxel-MORTON order for the aligned 2x-coarser grid and the invalid rows
+    trail at the end. This function's own output satisfies that contract for
+    the next power-of-two level: the voxel key is a Morton (Z-order) code,
+    which is hierarchical — ``morton(v >> 1) == morton(v) >> 3`` — so a
+    sequence sorted by the fine key is already sorted by every aligned
+    coarser key (NOT true of lexicographic packing: halving components can
+    reorder ties). Pyramid levels >= 2 therefore skip the multi-operand
+    sort entirely, which dominated the grid-pyramid step (docs/PERF.md).
+    The even-offset alignment (int(R/dl) halves exactly across the
+    power-of-two dl schedule) makes child voxel ids exactly ``parent >> 1``
+    per axis.
+
     Args:
         pc: (B, N, 3); coordinates must lie in (-4, 4) (normalized clouds).
         valid: optional (B, N) float/bool mask of real input rows.
@@ -144,10 +176,15 @@ def grid_subsample_fixed(
     B, N, _ = pc.shape
     R = 4.0
     K = int(2 * R / dl) + 2
+    if K > 1024:
+        raise ValueError(
+            f"grid_subsample_fixed: dl={dl} gives {K} voxels/axis > the "
+            "10-bit Morton budget — raise dl (or extend _morton3)"
+        )
     v = jnp.floor(pc / dl).astype(jnp.int32) + int(R / dl)
     v = jnp.clip(v, 0, K - 1)
-    key = (v[..., 0] * K + v[..., 1]) * K + v[..., 2]  # (B, N)
-    pad_key = K * K * K
+    key = _morton3(v)  # (B, N) int32 < 2**30
+    pad_key = 1 << 30
     if valid is not None:
         key = jnp.where(valid > 0, key, pad_key)
 
@@ -157,9 +194,12 @@ def grid_subsample_fixed(
     # The previous jax.ops.segment_sum formulation lowered to TPU scatters,
     # which serialize and dominated the grid-pyramid step (docs/PERF.md).
     f = pc.astype(jnp.float32)
-    skey, sx, sy, sz = jax.lax.sort(
-        (key, f[..., 0], f[..., 1], f[..., 2]), dimension=1, num_keys=1
-    )
+    if pre_sorted:
+        skey, sx, sy, sz = key, f[..., 0], f[..., 1], f[..., 2]
+    else:
+        skey, sx, sy, sz = jax.lax.sort(
+            (key, f[..., 0], f[..., 1], f[..., 2]), dimension=1, num_keys=1
+        )
     is_real = skey < pad_key
     w = is_real.astype(jnp.float32)
     is_first = jnp.concatenate(
@@ -409,8 +449,18 @@ class KPConvOp(nn.Module):
         )
 
         # normalize by valid-neighbor count (reference counts neighbors with
-        # positive feature sums, model/KPConv_blocks.py:445-449 — same intent)
-        n_valid = jnp.maximum(jnp.sum(neighb_mask, axis=-1), 1.0)
+        # positive feature sums, model/KPConv_blocks.py:445-449 — same intent).
+        # Deformable parity detail: the reference re-gathers only IN-RANGE
+        # neighbors (within KP_extent of some deformed kernel point,
+        # KP_blocks.py:365-390) before counting, so a valid neighbor outside
+        # every kernel point's reach is excluded from the denominator — its
+        # influence is already zero, but the normalization changes. Mirror it.
+        if self.deformable:
+            in_range = jnp.any(sq_d < self.kp_extent**2, axis=-1)  # (B, Q, k)
+            count_mask = neighb_mask * in_range.astype(neighb_mask.dtype)
+        else:
+            count_mask = neighb_mask
+        n_valid = jnp.maximum(jnp.sum(count_mask, axis=-1), 1.0)
         return out / n_valid[..., None]
 
 
@@ -556,8 +606,12 @@ def build_pyramid(pc: jax.Array, cfg: dict, fps_start: Optional[jax.Array] = Non
         valids = [jnp.ones(pc.shape[:2], pc.dtype)]
         for lvl in range(1, num_layers):
             cap = min(int(caps[lvl]), points[-1].shape[1])
+            # levels >= 2 consume grid_subsample_fixed's own output, which is
+            # already voxel-lexicographically ordered for the aligned 2x
+            # coarser grid (valid prefix, pads trailing) — skip their sorts
             p, v = grid_subsample_fixed(
-                points[-1], dl * (2 ** lvl), cap, valid=valids[-1]
+                points[-1], dl * (2 ** lvl), cap, valid=valids[-1],
+                pre_sorted=(lvl >= 2),
             )
             points.append(p)
             valids.append(v)
@@ -743,11 +797,14 @@ def p2p_fitting_regularizer(sown: dict, deform_fitting_power: float = 1.0,
             eye = jnp.eye(K, dtype=bool)
             clipped = jnp.minimum(d - repulse_extent, 0.0) ** 2
             clipped = jnp.where(eye[None, None], 0.0, clipped)
+            # reference: sum_i mean_pts(sum_j clipped_ij) / K
+            # == mean over rows of the full (K, K) clipped sum, divided by K
+            # (model/KPConv_model.py:308-313) — NOT a mean over the i axis
+            row_sums = jnp.sum(clipped, axis=(-1, -2))  # (B, Q)
             if qm is None:
-                repulsive = repulsive + jnp.mean(jnp.sum(clipped, axis=-1)) / K
+                repulsive = repulsive + jnp.mean(row_sums) / K
             else:
-                row_sums = jnp.sum(clipped, axis=(-1, -2))  # (B, Q)
-                denom = jnp.maximum(jnp.sum(qm), 1.0) * K
+                denom = jnp.maximum(jnp.sum(qm), 1.0)
                 repulsive = repulsive + jnp.sum(row_sums * qm) / denom / K
     return deform_fitting_power * (2.0 * fitting + repulsive)
 

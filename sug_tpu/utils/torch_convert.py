@@ -215,10 +215,65 @@ def _pointnet2_generator(sd: SD):
     return params, stats
 
 
+def _vecattn_block(sd: SD, prefix: str) -> Dict[str, Array]:
+    """Reference ``TransformerBlock`` (model/Ptran_transformer.py:9-46) ->
+    VectorAttentionBlock. Param names match BOTH the XLA path (nn.Dense
+    modules) and the fused-kernel path (_DenseParams) — the trees are
+    identical by construction (models/ptran.py)."""
+    p = {
+        "fc1": _dense(sd, f"{prefix}.fc1"),
+        "fc2": _dense(sd, f"{prefix}.fc2"),
+        "fc_delta1": _dense(sd, f"{prefix}.fc_delta.0"),
+        "fc_delta2": _dense(sd, f"{prefix}.fc_delta.2"),
+        "fc_gamma1": _dense(sd, f"{prefix}.fc_gamma.0"),
+        "fc_gamma2": _dense(sd, f"{prefix}.fc_gamma.2"),
+    }
+    for w in ("w_qs", "w_ks", "w_vs"):  # bias-free projections
+        p[w] = {"kernel": _dense_kernel(sd[f"{prefix}.{w}.weight"])}
+    return p
+
+
+def _ptran_transition_down(sd: SD, prefix: str):
+    """Reference ``TransitionDown`` -> SA with knn=True
+    (model/Model.py:289-293, PTran_utils.PointNetSetAbstraction): two
+    Conv2d+BN2d mlp stages -> two ConvBN {Dense_0, BatchNorm_0} modules."""
+    params, stats = {}, {}
+    for i in range(2):
+        bn_p, bn_s = _bn(sd, f"{prefix}.sa.mlp_bns.{i}")
+        params[f"mlp{i}"] = {
+            "Dense_0": _dense(sd, f"{prefix}.sa.mlp_convs.{i}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"mlp{i}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def _ptran_generator(sd: SD):
+    """Reference ``PTran_g`` (model/Model.py:295-347): fc1 Sequential
+    (Linear/ReLU/Linear) -> fc1a/fc1b; transformer1 + 4 x (TransitionDown +
+    transformer); the stride-2 point-mixing ``conv1d`` (model/Model.py:314,
+    331) -> the ``point_mix`` Dense over the point axis (its (64, 64, 1)
+    torch kernel transposes to (in=points, out) like any 1x1 conv — the
+    feat/point flatten-order difference is absorbed by the CALayer
+    NODE_PERM, exactly as for the other backbones)."""
+    bk, stats_bk = {}, {}
+    bk["fc1a"] = _dense(sd, "g.fc1.0")
+    bk["fc1b"] = _dense(sd, "g.fc1.2")
+    bk["transformer1"] = _vecattn_block(sd, "g.transformer1")
+    for i in range(4):
+        bk[f"td{i}"], stats_bk[f"td{i}"] = _ptran_transition_down(
+            sd, f"g.transition_downs.{i}"
+        )
+        bk[f"transformer{i + 2}"] = _vecattn_block(sd, f"g.transformers.{i}")
+    params = {"backbone": bk, "point_mix": _dense(sd, "g.conv1d")}
+    return params, {"backbone": stats_bk}
+
+
 _GENERATOR_CONVERTERS = {
     "Pointnet": _pointnet_generator,
     "DGCNN": _dgcnn_generator,
     "Pointnet2": _pointnet2_generator,
+    "PTran": _ptran_generator,
 }
 
 
@@ -229,6 +284,15 @@ def convert_net_mda(sd: SD, model_name: str = "Pointnet") -> Dict[str, dict]:
     ``NetMDA(model_name=...).apply(variables, pc, train=False, ...)``.
     """
     if model_name not in _GENERATOR_CONVERTERS:
+        if model_name == "KPConv":
+            raise NotImplementedError(
+                "KPConv full-model transplant is unsupported BY DESIGN: the "
+                "TPU pyramid is a fixed-capacity redesign of the reference's "
+                "dynamic stacked-rows preprocessing, so whole-model weights "
+                "are not drop-in comparable. Op/block-level numerical parity "
+                "(incl. deformable + regularizer) is enforced instead — see "
+                "tests/test_weight_transplant.py::test_kpconv_block_*."
+            )
         raise NotImplementedError(
             f"no converter for model_name={model_name!r} "
             f"(have {sorted(_GENERATOR_CONVERTERS)})"

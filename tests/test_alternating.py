@@ -31,6 +31,7 @@ def batch(rng):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode,cfg", [("uda", None), ("naive", NAIVE_CFG)])
 def test_alternating_step(batch, mode, cfg):
     trainer = AlternatingTrainer(model_name="Pointnet", mode=mode, cfg=cfg)

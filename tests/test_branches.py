@@ -44,6 +44,7 @@ def test_entropy_trainside_loader(tmp_path, rng):
     assert out["subset_1"]["label"].shape[0] == n1
 
 
+@pytest.mark.slow
 def test_multi_splitter_rotation(tmp_path):
     """A LIST of DATASET_SPLITTER configs rotates per epoch
     (reference train_dg_single_gpu.py:75-84, 229-232)."""
@@ -97,6 +98,7 @@ def test_multi_splitter_rotation(tmp_path):
     assert set(best) == {"source", "test1", "test2"}
 
 
+@pytest.mark.slow
 def test_dg_loss_golden_value(rng):
     """Golden regression: fixed seeds -> the full DG loss stack must stay
     numerically stable across refactors (rtol covers platform noise)."""

@@ -91,6 +91,7 @@ class TestGridPyramid:
         for a, b in zip(counts, counts[1:]):
             assert (b <= a).all()
 
+    @pytest.mark.slow
     def test_generator_forward_backward_finite(self, rng):
         # grid_dl matched to this sparse 128-pt cloud's density: at the
         # reference's dl=0.02 every ball holds ONLY its center, the
@@ -114,6 +115,7 @@ class TestGridPyramid:
         for leaf in jax.tree.leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
 
+    @pytest.mark.slow
     def test_pyramid_mode_defaults(self, rng):
         """grid is the default (reference structure + measured transfer win);
         pyramid=fps keeps the round-2 FPS pyramid (valid=None)."""
@@ -123,6 +125,7 @@ class TestGridPyramid:
         pyr = build_pyramid(pc, dict(KPCONV_DEFAULTS, pyramid="fps"))
         assert pyr["valid"] is None
 
+    @pytest.mark.slow
     def test_pad_rows_do_not_leak_into_global_feat(self, rng):
         """Adding pad capacity must not change the global feature: run the
         same cloud with generous vs tight capacities and compare."""
@@ -201,3 +204,33 @@ class TestMaskedDeformRegularizer:
 
         g = jax.grad(loss)(kp)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestMortonPreSorted:
+    """Round-5: the voxel key switched to a Morton (Z-order) code so pyramid
+    levels >= 2 can skip their multi-operand sorts (the key hierarchy makes
+    the previous level's output already sorted for the 2x-coarser grid)."""
+
+    def test_morton_hierarchy(self, rng):
+        from sug_tpu.models.kpconv import _morton3
+
+        v = jnp.asarray(rng.integers(0, 1024, size=(256, 3)), jnp.int32)
+        coarse = np.asarray(_morton3(v >> 1))
+        fine = np.asarray(_morton3(v))
+        np.testing.assert_array_equal(coarse, fine >> 3)
+
+    def test_pre_sorted_matches_sorted_path(self, rng):
+        """Feeding grid_subsample_fixed's own output into the next level with
+        pre_sorted=True must give bit-identical results to the sorting path."""
+        from sug_tpu.models.kpconv import grid_subsample_fixed
+
+        pc = jnp.asarray(rng.uniform(-1, 1, size=(3, 256, 3)), jnp.float32)
+        p1, v1 = grid_subsample_fixed(pc, 0.1, 128)
+        fast = grid_subsample_fixed(p1, 0.2, 64, valid=v1, pre_sorted=True)
+        slow = grid_subsample_fixed(p1, 0.2, 64, valid=v1, pre_sorted=False)
+        np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+        np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(slow[1]))
+        # and one level further down the pyramid
+        fast2 = grid_subsample_fixed(fast[0], 0.4, 32, valid=fast[1], pre_sorted=True)
+        slow2 = grid_subsample_fixed(slow[0], 0.4, 32, valid=slow[1], pre_sorted=False)
+        np.testing.assert_array_equal(np.asarray(fast2[0]), np.asarray(slow2[0]))

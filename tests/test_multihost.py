@@ -95,6 +95,7 @@ class TestRankAwareSampler:
 
 @pytest.mark.slow
 class TestTwoProcessIntegration:
+    @pytest.mark.slow
     def test_two_process_loss_matches_single_process(self, tmp_path):
         import jax
 
@@ -204,6 +205,7 @@ class TestTwoProcessIntegration:
         # bitwise trajectories across topologies are not expected)
         np.testing.assert_allclose(results[0], losses, rtol=0.1, atol=1e-3)
 
+    @pytest.mark.slow
     def test_two_proc_four_dev_uneven_tail(self, tmp_path):
         """2 procs x 4 devices each (8 global) over a FULL drop_last=False
         epoch whose dataset size (n=41) leaves a short tail batch — the tail

@@ -77,6 +77,7 @@ def test_source_grads_match_single_device(rng):
         np.testing.assert_allclose(a, b, atol=1e-4 * max(gnorm, 1.0))
 
 
+@pytest.mark.slow
 def test_dg_loss_trajectory_matches_single_device(rng):
     """Two consecutive full DG steps produce matching loss trajectories on
     1 vs 8 devices (forward + backward + fused update all consistent)."""
@@ -109,6 +110,7 @@ def test_dg_loss_trajectory_matches_single_device(rng):
     np.testing.assert_allclose(l1, l8, rtol=3e-2)
 
 
+@pytest.mark.slow
 def test_dg_multi_step_stays_replicated(rng):
     """Several consecutive sharded steps keep params consistent (no drift
     between replicas)."""

@@ -57,6 +57,7 @@ class TestPrecisionPolicy:
         with pytest.raises(ValueError):
             set_compute_dtype("fp8")
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("model_name", ["Pointnet", "PTran"])
     def test_bf16_params_stay_f32_and_finite(self, model_name, bf16_policy):
         variables, out, loss, grads = _init_and_forward(model_name)
@@ -94,6 +95,7 @@ class TestPrecisionPolicy:
         idx_f32 = np.asarray(knn_indices(pc, 8))
         np.testing.assert_array_equal(idx_bf16, idx_f32)
 
+    @pytest.mark.slow
     def test_ptran_trainstep_bf16(self, bf16_policy):
         """One full DG train step under bf16 compiles and stays finite."""
         from sug_tpu.engine.dg_trainer import DGTrainer

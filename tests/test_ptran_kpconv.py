@@ -130,6 +130,7 @@ class TestPTran:
         out = blk.apply(variables, xyz, feats)
         assert out.shape == (2, 32, 16)
 
+    @pytest.mark.slow
     def test_generator_shapes(self, pc):
         out = init_apply(PointTransformerGenerator(), pc, True)
         feat, node_fea, _ = out

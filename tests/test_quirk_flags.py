@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sug_tpu.engine.dg_trainer import DGTrainer
 from sug_tpu.utils.config import ConfigDict
@@ -44,6 +45,7 @@ def run_step(cfg, rng):
     return float(metrics["loss_cls"])
 
 
+@pytest.mark.slow
 def test_target_label_flag_changes_loss(rng):
     fixed = run_step(make_cfg(), rng)
     bug_parity = run_step(make_cfg(TARGET_LOSS_USES_SOURCE_LABELS=True), rng)
@@ -51,6 +53,7 @@ def test_target_label_flag_changes_loss(rng):
     assert abs(fixed - bug_parity) > 1e-6
 
 
+@pytest.mark.slow
 def test_grl_flag_changes_generator_grads(rng):
     """With GRL on, the target-CE gradient into the generator is reversed —
     one step from identical inits must move g differently."""

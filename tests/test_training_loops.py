@@ -76,6 +76,7 @@ def dg_cfg(root):
     )
 
 
+@pytest.mark.slow
 def test_dg_loop_end_to_end(tmp_path):
     write_domains(tmp_path)
     cfg = dg_cfg(tmp_path)
@@ -99,6 +100,7 @@ def test_dg_loop_end_to_end(tmp_path):
     assert jsonls and os.path.getsize(jsonls[0]) > 0
 
 
+@pytest.mark.slow
 def test_source_loop_end_to_end_with_resume(tmp_path):
     write_domains(tmp_path)
     cfg = dg_cfg(tmp_path)

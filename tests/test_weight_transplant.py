@@ -16,6 +16,7 @@ pinned to start index 0 (patching torch.randint / NetMDA's default).
 from __future__ import annotations
 
 import contextlib
+import os
 import sys
 import types
 
@@ -148,7 +149,7 @@ def _run_mine(model_name: str, variables, pc: np.ndarray):
     return {k: np.asarray(v) for k, v in out.items() if v is not None}
 
 
-BACKBONES = ["Pointnet", "DGCNN", "Pointnet2"]
+BACKBONES = ["Pointnet", "DGCNN", "Pointnet2", "PTran"]
 
 
 @pytest.mark.parametrize("model_name", BACKBONES)
@@ -178,14 +179,18 @@ def test_transplant_structure_matches_init(ref, model_name):
 # DGCNN stacks four feature-space kNN graphs + a 1024-point mean pool; f32
 # accumulation-order noise between torch and XLA reaches ~2e-4 on isolated
 # elements (measured: 1/4096 global-feat elements at 1.8e-4 abs / 9e-4 rel).
-# The MLP-over-geometry backbones agree at 1e-4.
-TOL = {"Pointnet": 1e-4, "Pointnet2": 1e-4, "DGCNN": 5e-4}
+# The MLP-over-geometry backbones agree at 1e-4. PTran chains 5 vector-
+# attention softmaxes + 4 FPS/kNN pyramids; accumulation-order noise on the
+# deepest (4-point-mean) features reaches ~2e-4.
+TOL = {"Pointnet": 1e-4, "Pointnet2": 1e-4, "DGCNN": 5e-4, "PTran": 1e-3}
 
 
 @pytest.mark.parametrize("model_name", BACKBONES)
 def test_transplant_forward_parity(ref, model_name):
     rng = np.random.default_rng(42)
-    B, N = 4, 1024
+    # PTran's XLA path materializes (B, 1024, 16, 512) per-edge tensors on
+    # both frameworks — B=2 keeps the torch side inside this box's RAM
+    B, N = (2 if model_name == "PTran" else 4), 1024
     pc = rng.uniform(-1.0, 1.0, size=(B, N, 3)).astype(np.float32)
 
     model, want = _run_reference(ref, model_name, pc, seed=7)
@@ -321,3 +326,206 @@ def test_dg_loss_parity_with_transplant(ref, model_name):
     for k in ("loss_cls", "loss_adv", "loss_geo", "loss_sem", "loss_total"):
         np.testing.assert_allclose(got[k], want[k], rtol=10 * tol, atol=tol,
                                    err_msg=k)
+
+
+def test_ptran_transplant_fused_kernel_parity(ref, monkeypatch):
+    """Transplanted PTran through the FUSED vector-attention kernel
+    (interpret mode on CPU, f32-faithful + 3-pass MLP matmuls) must match
+    the torch reference too — proving the transplant holds on the path
+    production actually runs, not just the XLA formulation."""
+    rng = np.random.default_rng(43)
+    B, N = 2, 1024
+    pc = rng.uniform(-1.0, 1.0, size=(B, N, 3)).astype(np.float32)
+
+    model, want = _run_reference(ref, "PTran", pc, seed=9)
+    variables = convert_net_mda(state_dict_to_numpy(model.state_dict()), "PTran")
+
+    monkeypatch.setenv("SUG_FUSED_VECATTN", "interpret")
+    monkeypatch.setenv("SUG_VECATTN_F32_MM", "3pass")
+    got = _run_mine("PTran", variables, pc)
+
+    perm = NODE_PERM
+    # 3-pass matmuls are ~f32 but not bit-f32; the looser 2e-3 bound still
+    # catches any wiring/permutation error (those are O(1), not O(1e-3))
+    tol = 2e-3
+    np.testing.assert_allclose(
+        got["global_feat"], want["global_feat"], rtol=tol, atol=tol,
+        err_msg="global feature (fused kernel)",
+    )
+    np.testing.assert_allclose(
+        got["node_flat"], want["node_flat"][:, perm], rtol=tol, atol=tol,
+        err_msg="node features (fused kernel)",
+    )
+    for k in ("sem1", "sem2", "logits1", "logits2"):
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=tol, atol=tol, err_msg=f"{k} (fused kernel)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# KPConv block-level parity: identical precomputed neighbor inputs through the
+# reference KPConv (model/KPConv_blocks.py:208-453, stacked rows + shadow
+# index) and KPConvOp (batched + mask), with the reference's actual (random-
+# rotated) kernel-point dispositions injected. Covers rigid (linear/gaussian/
+# constant x sum/closest), deformable, and modulated-deformable, plus the
+# p2p fitting/repulsive regularizer value (model/KPConv_model.py:282-315).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_kp():
+    """Import the reference KPConv blocks, isolated like the ``ref`` fixture."""
+    stashed = {}
+    for name in list(sys.modules):
+        if name.split(".")[0] in _REF_TOPLEVEL:
+            stashed[name] = sys.modules.pop(name)
+    sys.path.insert(0, REF_ROOT)
+    cwd = os.getcwd()
+    os.makedirs("/tmp/kpconv_ref_cache", exist_ok=True)
+    os.chdir("/tmp/kpconv_ref_cache")  # load_kernels caches dispositions in cwd
+    try:
+        import model.KPConv_blocks as KPB
+
+        ns = types.SimpleNamespace(KPConv=KPB.KPConv)
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(REF_ROOT)
+        for name in list(sys.modules):
+            if name.split(".")[0] in _REF_TOPLEVEL:
+                del sys.modules[name]
+        sys.modules.update(stashed)
+    return ns
+
+
+def _kp_problem(seed, Q=24, S=48, k=10, Cin=8, radius=0.05):
+    """Random queries + supports clustered inside ``radius`` balls, neighbor
+    indices with genuine shadow slots (== S), and POSITIVE features (the
+    reference's neighbor-count normalization counts rows with positive
+    feature sums, KPConv_blocks.py:445-449 — positive features make that
+    equal to the valid-slot count on both sides)."""
+    rng = np.random.default_rng(seed)
+    q_pts = rng.uniform(-0.5, 0.5, size=(Q, 3)).astype(np.float32)
+    # supports: for each query a few points inside its radius ball
+    base = np.repeat(q_pts, 2, axis=0)[:S]
+    s_pts = (base + rng.uniform(-0.6, 0.6, size=(S, 3)) * radius).astype(np.float32)
+    d = np.sum((q_pts[:, None] - s_pts[None]) ** 2, -1)
+    idx = np.argsort(d, axis=1)[:, :k].astype(np.int64)
+    # shadow out the slots beyond each row's radius (keep >= 1 real neighbor)
+    within = np.take_along_axis(d, idx, 1) < (radius * 1.5) ** 2
+    within[:, 0] = True
+    idx = np.where(within, idx, S)
+    x = rng.uniform(0.1, 1.0, size=(S, Cin)).astype(np.float32)
+    return q_pts, s_pts, idx, x
+
+
+def _run_kp_pair(ref_kp, monkeypatch, *, influence, aggregation,
+                 deformable=False, modulated=False, seed=5):
+    from sug_tpu.models import kpconv as kp_mod
+    from sug_tpu.models.kpconv import KPConvOp
+
+    K, Cin, Cout, radius, extent = 15, 8, 16, 0.05, 0.04
+    q_pts, s_pts, idx, x = _kp_problem(seed, Cin=Cin, radius=radius)
+
+    torch.manual_seed(seed)
+    cwd = os.getcwd()
+    os.chdir("/tmp/kpconv_ref_cache")
+    try:
+        conv = ref_kp.KPConv(
+            K, 3, Cin, Cout, extent, radius,
+            KP_influence=influence, aggregation_mode=aggregation,
+            deformable=deformable, modulated=modulated,
+        )
+    finally:
+        os.chdir(cwd)
+    g = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        conv.weights.uniform_(-0.5, 0.5, generator=g)
+        if deformable:
+            # small real offsets: keep every valid neighbor within KP_extent
+            # of some deformed kernel point, so the reference's in-range
+            # re-gather keeps them all (the normalization count matches)
+            conv.offset_conv.weights.uniform_(-0.02, 0.02, generator=g)
+            conv.offset_bias.uniform_(-0.01, 0.01, generator=g)
+
+    with torch.no_grad():
+        want = conv(
+            torch.from_numpy(q_pts), torch.from_numpy(s_pts),
+            torch.from_numpy(idx), torch.from_numpy(x),
+        ).numpy()
+
+    # inject the reference's kernel dispositions (random rotation included);
+    # KPConvOp calls load_kernels for the OUTER conv first, then offset_conv
+    kps = [np.asarray(conv.kernel_points.numpy(), np.float32)]
+    if deformable:
+        kps.append(np.asarray(conv.offset_conv.kernel_points.numpy(), np.float32))
+    queue = list(kps)
+    monkeypatch.setattr(
+        kp_mod, "load_kernels", lambda *a, **kw: queue.pop(0)
+    )
+
+    op = KPConvOp(
+        Cout, extent, radius, K, influence=influence, aggregation=aggregation,
+        deformable=deformable, modulated=modulated,
+    )
+    mask = (idx < s_pts.shape[0]).astype(np.float32)
+    idx_c = np.where(idx < s_pts.shape[0], idx, 0).astype(np.int32)
+    params = {"weights": jnp.asarray(conv.weights.detach().numpy())}
+    if deformable:
+        params["offset_bias"] = jnp.asarray(conv.offset_bias.detach().numpy())
+        params["offset_conv"] = {
+            "weights": jnp.asarray(conv.offset_conv.weights.detach().numpy())
+        }
+    got, sown = op.apply(
+        {"params": params},
+        jnp.asarray(q_pts)[None], jnp.asarray(s_pts)[None],
+        jnp.asarray(idx_c)[None], jnp.asarray(mask)[None],
+        jnp.asarray(x)[None],
+        mutable=["regularizers"],
+    )
+    assert not queue, "load_kernels call-order drifted from the reference"
+    return want, np.asarray(got[0]), conv, sown
+
+
+@pytest.mark.parametrize(
+    "influence,aggregation",
+    [("linear", "sum"), ("gaussian", "sum"), ("constant", "sum"),
+     ("linear", "closest")],
+)
+def test_kpconv_block_rigid_parity(ref_kp, monkeypatch, influence, aggregation):
+    want, got, _, _ = _run_kp_pair(
+        ref_kp, monkeypatch, influence=influence, aggregation=aggregation
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("modulated", [False, True])
+def test_kpconv_block_deformable_parity(ref_kp, monkeypatch, modulated):
+    want, got, conv, sown = _run_kp_pair(
+        ref_kp, monkeypatch, influence="linear", aggregation="sum",
+        deformable=True, modulated=modulated, seed=9,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # regularizer value parity (model/KPConv_model.py:282-315, one layer)
+    from sug_tpu.models.kpconv import p2p_fitting_regularizer
+
+    got_reg = float(p2p_fitting_regularizer(sown["regularizers"],
+                                            deform_fitting_power=1.0,
+                                            repulse_extent=1.2))
+    ext = 0.04
+    with torch.no_grad():
+        kp_min_d2 = conv.min_d2 / (ext ** 2)
+        fitting = torch.nn.functional.l1_loss(
+            kp_min_d2, torch.zeros_like(kp_min_d2)
+        )
+        kp_locs = conv.deformed_KP / ext
+        repulsive = torch.zeros(())
+        K = kp_locs.shape[1]
+        for i in range(K):
+            other = torch.cat([kp_locs[:, :i], kp_locs[:, i + 1:]], dim=1)
+            dd = torch.sqrt(torch.sum((other - kp_locs[:, i:i + 1]) ** 2, dim=2))
+            rep = torch.sum(torch.clamp_max(dd - 1.2, max=0.0) ** 2, dim=1)
+            repulsive = repulsive + torch.nn.functional.l1_loss(
+                rep, torch.zeros_like(rep)) / K
+        want_reg = float(2 * fitting + repulsive)
+    np.testing.assert_allclose(got_reg, want_reg, rtol=1e-4, atol=1e-6)

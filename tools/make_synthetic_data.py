@@ -48,10 +48,19 @@ def main():
         help="add partial-view / occlusion / density-shift degradations "
              "(scan realism — the transfer A/B benchmark set)",
     )
+    ap.add_argument(
+        "--degrade", choices=["all", "pv", "occ", "density"], default="all",
+        help="with --hard: apply only ONE degradation component (per-"
+             "degradation ablation of the hard set; 'all' = the full set)",
+    )
     args = ap.parse_args()
 
     for ds, (noise, off) in DOMAIN_PARAMS.items():
         pv, occ, dg = HARD_PARAMS[ds] if args.hard else (0.0, 0.0, 0.0)
+        if args.degrade != "all":
+            pv = pv if args.degrade == "pv" else 0.0
+            occ = occ if args.degrade == "occ" else 0.0
+            dg = dg if args.degrade == "density" else 0.0
         out = os.path.join(args.root, ds)
         os.makedirs(out, exist_ok=True)
         for split, n in (("train", args.per_class), ("test", max(args.per_class // 2, 4))):
