@@ -185,6 +185,29 @@ class DGTrainer:
         fps_s = jax.random.randint(k_fps_s, (B,), 0, N) if train else None
         fps_t = jax.random.randint(k_fps_t, (B,), 0, N) if train else None
 
+        # KPConv's generator is batch-decoupled (InstanceNorm only) and its
+        # heads are norm/dropout-free, so both domains run as ONE stacked
+        # generator pass — numerically identical, ~half the tiny-op count
+        # (NetMDA._stacked). SUG_KPCONV_STACKED=0 restores the sequential
+        # choreography. For the BatchNorm backbones the same transform is
+        # available OPT-IN via SUG_STACKED_FORWARD=1: train-time
+        # normalization is exactly per-domain (2-group BN) and the running
+        # stats use the sequential-momentum update (models/bn.py), but head
+        # DROPOUT draws one mask over 2B rows instead of two over B —
+        # distributionally identical, not bit-identical, so it stays off
+        # until a transfer A/B clears it (docs/PERF.md).
+        import os
+
+        stacked = (
+            self.model_name == "KPConv"
+            and os.environ.get("SUG_KPCONV_STACKED", "1") != "0"
+        ) or os.environ.get("SUG_STACKED_FORWARD", "0") == "1"
+        if stacked and self._bn_groups == 1:
+            return self._forward_stacked(
+                params, batch_stats, data_s, data_t, fps_s, fps_t,
+                k_do_s, grl_const, train,
+            )
+
         # KPConv's deformable layers sow fitting/repulsion terms into a
         # 'regularizers' collection (reference p2p_fitting_regularizer added
         # to the loss at train_dg_single_gpu.py:280-282)
@@ -212,6 +235,47 @@ class DGTrainer:
             mutable=mutable,
         )
         return out_s, out_t, mut.get("batch_stats", batch_stats), reg_s
+
+    def _forward_stacked(
+        self, params, batch_stats, data_s, data_t, fps_s, fps_t, k_do,
+        grl_const, train: bool,
+    ):
+        """Both domains through ONE stacked generator pass (KPConv only —
+        see NetMDA._stacked for the legality argument). Splits the stacked
+        outputs back into the sequential contract's (out_s, out_t)."""
+        B = data_s.shape[0]
+        pc = jnp.concatenate([data_s, data_t], axis=0)
+        fps = (
+            jnp.concatenate([fps_s, fps_t]) if fps_s is not None else None
+        )
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pc,
+            train,
+            domain="stacked",
+            grl_constant=grl_const if self._grl else None,
+            fps_start=fps,
+            rngs={"dropout": k_do},
+            mutable=["batch_stats", "regularizers"],
+        )
+        # sequential contract: only the SOURCE forward's regularizers feed
+        # the loss — slice each sown leaf to the source half
+        reg_s = jax.tree.map(lambda v: v[:B], mut.get("regularizers", {}))
+
+        def half(i):
+            sl = slice(0, B) if i == 0 else slice(B, 2 * B)
+            d = {
+                k: out[k][sl]
+                for k in ("logits1", "logits2", "sem1", "sem2", "node_flat",
+                          "global_feat")
+            }
+            d["node_offset"] = (
+                out["node_offset"][sl] if out["node_offset"] is not None else None
+            )
+            d["node_attn"] = out["node_attn"] if i == 0 else out["node_attn_t"]
+            return d
+
+        return half(0), half(1), mut.get("batch_stats", batch_stats), reg_s
 
     def _loss(
         self, params, batch_stats, data_s, label_s, data_t, label_t, key, grl_const,

@@ -40,8 +40,41 @@ import flax.linen as nn
 
 # mode is a tri-state: "unset" (default — the SUG_BN_GROUPS env override
 # applies) vs "configured" (an explicit set_bn_groups/BN_SEMANTICS decision
-# — env is ignored, even for groups == 1).
-_STATE = {"groups": 1, "mode": "unset"}
+# — env is ignored, even for groups == 1). momentum_mode: "mean" (grouped
+# stats feed ONE momentum update with their across-group mean) vs
+# "sequential" (one momentum update PER group, in group order — exactly the
+# running stats the sequential source-then-target choreography accumulates;
+# used by the stacked both-domains forward, engine/dg_trainer.py).
+_STATE = {"groups": 1, "mode": "unset", "momentum_mode": "mean"}
+
+
+_STACK_SAVED: list = []
+
+
+def set_stacked_bn(on: bool) -> None:
+    """Enter/exit the stacked-forward BN regime: 2 batch groups (source
+    half, target half) with sequential momentum updates. Trace-time mailbox
+    like the rest of this module — NetMDA._stacked sets it around the
+    generator call only (the per-domain CALayers/heads see single-domain
+    batches and keep plain BN). Enter/exit save/restore the full state, so
+    an env SUG_BN_GROUPS or configured-global regime resumes afterwards."""
+    if on:
+        if bn_groups() != 1:
+            raise ValueError(
+                "stacked forward + per-replica BN groups are mutually "
+                "exclusive (grouped-BN group axes would collide)"
+            )
+        _STACK_SAVED.append(dict(_STATE))
+        _STATE.update(groups=2, mode="configured", momentum_mode="sequential")
+    else:
+        _STATE.update(
+            _STACK_SAVED.pop() if _STACK_SAVED
+            else {"groups": 1, "mode": "unset", "momentum_mode": "mean"}
+        )
+
+
+def bn_momentum_mode() -> str:
+    return _STATE["momentum_mode"]
 
 
 def set_bn_groups(n: int) -> None:
@@ -119,6 +152,11 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: object = None
+    # "mean": one momentum update with the across-group mean (per-replica
+    # emulation). "sequential": one momentum update per group in order —
+    # bit-faithful to the sequential source-then-target forwards' running
+    # stats (the stacked-forward regime).
+    momentum_mode: str = "mean"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -153,14 +191,21 @@ class BatchNorm(nn.Module):
                 )
             y = yg.reshape(x.shape)
             if not self.is_initializing():
-                ra_mean.value = (
-                    self.momentum * ra_mean.value
-                    + (1.0 - self.momentum) * jnp.mean(gmean, axis=0)
-                )
-                ra_var.value = (
-                    self.momentum * ra_var.value
-                    + (1.0 - self.momentum) * jnp.mean(gvar, axis=0)
-                )
+                if self.momentum_mode == "sequential":
+                    rm, rv = ra_mean.value, ra_var.value
+                    for i in range(g):
+                        rm = self.momentum * rm + (1.0 - self.momentum) * gmean[i]
+                        rv = self.momentum * rv + (1.0 - self.momentum) * gvar[i]
+                    ra_mean.value, ra_var.value = rm, rv
+                else:
+                    ra_mean.value = (
+                        self.momentum * ra_mean.value
+                        + (1.0 - self.momentum) * jnp.mean(gmean, axis=0)
+                    )
+                    ra_var.value = (
+                        self.momentum * ra_var.value
+                        + (1.0 - self.momentum) * jnp.mean(gvar, axis=0)
+                    )
         y = y * scale + bias
         return y.astype(self.dtype) if self.dtype is not None else y
 
@@ -180,4 +225,5 @@ def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
     return BatchNorm(
         groups=g, use_running_average=not train, momentum=momentum,
         epsilon=epsilon, dtype=dtype, name=name,
+        momentum_mode=bn_momentum_mode(),
     )

@@ -106,12 +106,23 @@ class _EdgeConvBlock(nn.Module):
             mean = s1g / M
             var = jnp.maximum(s2g / M - mean * mean, 0.0)
             if not self.is_initializing():
-                ra_mean.value = 0.9 * ra_mean.value + 0.1 * jax.lax.stop_gradient(
-                    jnp.mean(mean, axis=0)
-                )
-                ra_var.value = 0.9 * ra_var.value + 0.1 * jax.lax.stop_gradient(
-                    jnp.mean(var, axis=0)
-                )
+                from sug_tpu.models.bn import bn_momentum_mode
+
+                if bn_momentum_mode() == "sequential":
+                    # stacked-forward regime: one momentum update per group
+                    # in order — the sequential source-then-target stats
+                    rm, rv = ra_mean.value, ra_var.value
+                    for i in range(g):
+                        rm = 0.9 * rm + 0.1 * jax.lax.stop_gradient(mean[i])
+                        rv = 0.9 * rv + 0.1 * jax.lax.stop_gradient(var[i])
+                    ra_mean.value, ra_var.value = rm, rv
+                else:
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * jax.lax.stop_gradient(
+                        jnp.mean(mean, axis=0)
+                    )
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * jax.lax.stop_gradient(
+                        jnp.mean(var, axis=0)
+                    )
         else:
             mean, var = ra_mean.value[None], ra_var.value[None]  # (1, F)
 

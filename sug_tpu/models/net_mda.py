@@ -98,6 +98,8 @@ class NetMDA(nn.Module):
         grl_constant: Optional[jax.Array] = None,
         fps_start: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
+        if domain == "stacked":
+            return self._stacked(pc, train, grl_constant, fps_start)
         feat, node_fea, node_off = self.g(pc, train, fps_start)
         B = feat.shape[0]
         node_flat = node_fea.reshape(B, -1)
@@ -120,3 +122,52 @@ class NetMDA(nn.Module):
             logits1=logits1, logits2=logits2, sem1=sem1, sem2=sem2, global_feat=feat
         )
         return out
+
+    def _stacked(self, pc, train, grl_constant, fps_start):
+        """One generator pass over concat(source, target) along the batch.
+
+        Valid ONLY for batch-decoupled generators (KPConv: InstanceNorm +
+        norm/dropout-free heads — no module mixes information across batch
+        rows), where it is numerically identical to the sequential
+        source-then-target choreography while halving the number of
+        launched ops: KPConv's step is dominated by thousands of tiny
+        per-level fusions whose cost is per-OP, not per-byte
+        (docs/PERF.md round-5 profile), so 2x the rows per op is nearly
+        free. The per-domain CALayers and their BN batch statistics still
+        see exactly their own half. Output: the sequential contract's two
+        dicts, keyed '_s'/'_t' by the caller (engine/dg_trainer.py).
+        """
+        from sug_tpu.models import bn as _bn
+
+        # generator BN (if any) runs in the 2-group sequential-momentum
+        # regime: each domain half normalized by its own statistics, running
+        # stats updated source-then-target — bit-faithful to the sequential
+        # choreography. Scoped to the generator: flax traces python-
+        # sequentially, so the CALayers/heads below see plain BN again.
+        _bn.set_stacked_bn(True)
+        try:
+            feat, node_fea, node_off = self.g(pc, train, fps_start)
+        finally:
+            _bn.set_stacked_bn(False)
+        B = feat.shape[0] // 2
+        node_flat = node_fea.reshape(2 * B, -1)
+        attn_s = self.attention_s(node_flat[:B], train)
+        attn_t = self.attention_t(node_flat[B:], train)
+        if grl_constant is not None:
+            # reference applies GRL on the TARGET forward only
+            feat = jnp.concatenate(
+                [feat[:B], grad_reverse(feat[B:], jnp.asarray(grl_constant, feat.dtype))]
+            )
+        logits1, sem1 = self.c1(feat, train)
+        logits2, sem2 = self.c2(feat, train)
+        return {
+            "node_flat": node_flat,
+            "node_offset": node_off,
+            "node_attn": attn_s,
+            "node_attn_t": attn_t,
+            "logits1": logits1,
+            "logits2": logits2,
+            "sem1": sem1,
+            "sem2": sem2,
+            "global_feat": feat,
+        }

@@ -186,3 +186,52 @@ class TestConfigureTriState:
         assert bn_mod.bn_groups() == 2  # re-asserted by init_state
         state2 = t_gl.init_state(seed=0, batch_size=4, num_points=64)
         assert bn_mod.bn_groups() == 1
+
+
+class TestStackedForward:
+    """SUG_STACKED_FORWARD=1: both domains through one generator pass with
+    2-group sequential-momentum BN — generator outputs and running stats
+    must match the sequential source-then-target choreography (heads differ
+    only by dropout draws, so they are compared in shape/finiteness only)."""
+
+    @pytest.mark.parametrize("model_name", ["Pointnet", "DGCNN"])
+    def test_stacked_matches_sequential(self, model_name, monkeypatch):
+        import jax
+
+        from sug_tpu.engine.dg_trainer import DGTrainer
+
+        cfg = {
+            "METHODS": {"GRL": False, "ADV_WEIGHT": 0.0, "PURE_CLS_EPOCH": 0},
+            "OPTIMIZATION": {"WEIGHT_DECAY": 0.0},
+        }
+        trainer = DGTrainer(cfg, model_name=model_name, augment=False)
+        state = trainer.init_state(seed=0, batch_size=4, num_points=128)
+        rng = np.random.default_rng(7)
+        data_s = jnp.asarray(rng.uniform(-1, 1, size=(4, 128, 3)), jnp.float32)
+        data_t = jnp.asarray(rng.uniform(-1, 1, size=(4, 128, 3)), jnp.float32)
+        key = jax.random.key(5)
+
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("SUG_STACKED_FORWARD", flag)
+            outs[flag] = trainer._forward_both(
+                state.params, state.batch_stats, data_s, data_t, key,
+                jnp.float32(0.0), train=True,
+            )
+        for i, side in ((0, "source"), (1, "target")):
+            a, b = outs["1"][i], outs["0"][i]
+            for k in ("node_flat", "node_attn", "global_feat"):
+                np.testing.assert_allclose(
+                    np.asarray(a[k]), np.asarray(b[k]), rtol=2e-5, atol=2e-5,
+                    err_msg=f"{side} {k}",
+                )
+            assert np.isfinite(np.asarray(a["logits1"])).all()
+        # running stats (incl. the generator's sequential-momentum updates)
+        fa = {jax.tree_util.keystr(kp): v for kp, v
+              in jax.tree_util.tree_leaves_with_path(outs["1"][2])}
+        fb = {jax.tree_util.keystr(kp): v for kp, v
+              in jax.tree_util.tree_leaves_with_path(outs["0"][2])}
+        assert fa.keys() == fb.keys()
+        for k in fa:
+            np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                       rtol=2e-5, atol=2e-5, err_msg=k)

@@ -171,3 +171,64 @@ def test_net_mda_with_stretch_backbones(pc, model_name):
     )
     assert out["logits1"].shape == (B, 10)
     assert out["node_attn"].shape == (B, 4096)
+
+
+class TestKPConvStackedForward:
+    """The stacked both-domains forward (NetMDA._stacked, KPConv-only fast
+    path) must match the sequential source-then-target choreography exactly:
+    the generator is batch-decoupled (InstanceNorm only) and the KPConv
+    heads have no norm or dropout."""
+
+    def test_stacked_equals_sequential(self, rng):
+        import os
+
+        from sug_tpu.engine.dg_trainer import DGTrainer
+        from sug_tpu.utils.config import ConfigDict
+
+        cfg = ConfigDict({
+            "METHODS": {"GRL": False, "ADV_WEIGHT": 0.5, "MMD_WEIGHT": 1.0,
+                        "CLS_WEIGHT": 1.0, "PURE_CLS_EPOCH": 0,
+                        "TARGET_LOSS": 1.0, "SRC_LOSS_WEIGHT": 1.0,
+                        "GEO_MMD": [{"NAME": "SOFT_MMD", "LABEL_SCALE": 50,
+                                     "GEO_WEIGHTS": "mean2one", "GEO_SCALE": 1}],
+                        "SEM_MMD": [{"NAME": "SOFT_MMD", "LABEL_SCALE": 5,
+                                     "SEM_WEIGHTS": "mean2one",
+                                     "LABEL_WEIGHT": 0.5, "SEM_SCALE": 1}]},
+            "OPTIMIZATION": {"WEIGHT_DECAY": 0.0, "LR": 1e-3,
+                             "LR_SCALER": 1.0, "NUM_EPOCHES": 2},
+        })
+        trainer = DGTrainer(cfg, model_name="KPConv", augment=False)
+        state = trainer.init_state(seed=0, batch_size=4, num_points=64)
+        data_s = jnp.asarray(rng.uniform(-1, 1, size=(4, 64, 3)), jnp.float32)
+        data_t = jnp.asarray(rng.uniform(-1, 1, size=(4, 64, 3)), jnp.float32)
+        key = jax.random.key(3)
+
+        outs = {}
+        for mode in ("1", "0"):
+            os.environ["SUG_KPCONV_STACKED"] = mode
+            try:
+                out_s, out_t, stats, _ = trainer._forward_both(
+                    state.params, state.batch_stats, data_s, data_t, key,
+                    jnp.float32(0.0), train=True,
+                )
+            finally:
+                os.environ.pop("SUG_KPCONV_STACKED", None)
+            outs[mode] = (out_s, out_t, stats)
+
+        for i in range(2):
+            a, b = outs["1"][i], outs["0"][i]
+            for k in ("logits1", "logits2", "sem1", "sem2", "node_flat",
+                      "node_attn", "global_feat"):
+                np.testing.assert_allclose(
+                    np.asarray(a[k]), np.asarray(b[k]), rtol=1e-6, atol=1e-6,
+                    err_msg=f"{'st'[i]} {k}",
+                )
+        # BN running stats of the per-domain CALayers must match too
+        fa = {jax.tree_util.keystr(kp): v for kp, v
+              in jax.tree_util.tree_leaves_with_path(outs["1"][2])}
+        fb = {jax.tree_util.keystr(kp): v for kp, v
+              in jax.tree_util.tree_leaves_with_path(outs["0"][2])}
+        assert fa.keys() == fb.keys()
+        for k in fa:
+            np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
