@@ -293,8 +293,14 @@ def _reference_dg_losses(ref, model, pc_s, label_s, pc_t, label_t):
     }
 
 
+@pytest.mark.parametrize("stacked", [False, True])
 @pytest.mark.parametrize("model_name", ["Pointnet", "DGCNN"])
-def test_dg_loss_parity_with_transplant(ref, model_name):
+def test_dg_loss_parity_with_transplant(ref, model_name, stacked, monkeypatch):
+    """stacked=True additionally proves SUG_STACKED_FORWARD=1 reproduces the
+    reference's losses exactly in deterministic mode (train=False: BN eval
+    stats, no dropout — the only stacked-vs-sequential deviation channel)."""
+    if stacked:
+        monkeypatch.setenv("SUG_STACKED_FORWARD", "1")
     from sug_tpu.engine.dg_trainer import DGTrainer
 
     rng = np.random.default_rng(3)
