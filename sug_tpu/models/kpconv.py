@@ -119,6 +119,12 @@ LEVEL_FRACTIONS = (1, 4, 16, 32, 64)  # N / frac per level
 NEIGHBOR_LIMITS = (24, 24, 24, 24, 16)
 
 
+# half-extent of the voxel coordinate frame; clouds are unit-normalized so
+# (-4, 4) leaves generous margin. Shared by grid_subsample_fixed and the
+# build_pyramid pre_sorted alignment check.
+_GRID_R = 4.0
+
+
 def _morton3(v: jax.Array) -> jax.Array:
     """Interleave the low 10 bits of 3 int32 voxel coords (..., 3) into a
     Morton (Z-order) code < 2**30. Hierarchical by construction:
@@ -174,7 +180,7 @@ def grid_subsample_fixed(
         (B, capacity, 3) centroids, (B, capacity) float validity mask.
     """
     B, N, _ = pc.shape
-    R = 4.0
+    R = _GRID_R
     K = int(2 * R / dl) + 2
     if K > 1024:
         raise ValueError(
@@ -607,11 +613,20 @@ def build_pyramid(pc: jax.Array, cfg: dict, fps_start: Optional[jax.Array] = Non
         for lvl in range(1, num_layers):
             cap = min(int(caps[lvl]), points[-1].shape[1])
             # levels >= 2 consume grid_subsample_fixed's own output, which is
-            # already voxel-lexicographically ordered for the aligned 2x
-            # coarser grid (valid prefix, pads trailing) — skip their sorts
+            # already voxel-MORTON ordered for the aligned 2x coarser grid
+            # (valid prefix, pads trailing) — skip their sorts. Alignment
+            # requires the integer voxel offset int(R/dl) to halve EXACTLY
+            # between the two levels (then child voxel ids are parent >> 1
+            # per axis); true for power-of-two-friendly dl like the default
+            # 0.05, but an arbitrary MODEL_CFG.grid_dl (e.g. 0.03 -> offsets
+            # 66 vs 33... then 133 != 2*66) breaks it — fall back to sorting
+            # rather than silently mis-segmenting the voxels.
+            aligned = int(_GRID_R / (dl * 2 ** (lvl - 1))) == 2 * int(
+                _GRID_R / (dl * 2 ** lvl)
+            )
             p, v = grid_subsample_fixed(
                 points[-1], dl * (2 ** lvl), cap, valid=valids[-1],
-                pre_sorted=(lvl >= 2),
+                pre_sorted=(lvl >= 2 and aligned),
             )
             points.append(p)
             valids.append(v)

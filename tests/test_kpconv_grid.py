@@ -234,3 +234,36 @@ class TestMortonPreSorted:
         fast2 = grid_subsample_fixed(fast[0], 0.4, 32, valid=fast[1], pre_sorted=True)
         slow2 = grid_subsample_fixed(slow[0], 0.4, 32, valid=slow[1], pre_sorted=False)
         np.testing.assert_array_equal(np.asarray(fast2[0]), np.asarray(slow2[0]))
+
+    def test_misaligned_dl_falls_back_to_sorting(self, rng):
+        """The Morton hierarchy shortcut is only valid when the integer voxel
+        offset int(R/dl) halves exactly between levels (child voxel ids ==
+        parent >> 1). grid_dl=0.03 violates it (offsets 133 vs 66 vs 33), so
+        build_pyramid must fall back to sorting: its level outputs must equal
+        an explicit pre_sorted=False reconstruction (they would silently
+        mis-segment voxels if the shortcut were taken)."""
+        from sug_tpu.models.kpconv import (
+            KPCONV_DEFAULTS, build_pyramid, grid_subsample_fixed,
+        )
+
+        # the hazard is real: for the misaligned dl chain the shortcut path
+        # disagrees with the sorted path on at least one cloud
+        pc = jnp.asarray(rng.uniform(-1, 1, size=(4, 256, 3)), jnp.float32)
+        p1, v1 = grid_subsample_fixed(pc, 0.03 * 2, 128)
+        fast = grid_subsample_fixed(p1, 0.03 * 4, 64, valid=v1, pre_sorted=True)
+        slow = grid_subsample_fixed(p1, 0.03 * 4, 64, valid=v1, pre_sorted=False)
+        assert not np.array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+
+        cfg = dict(KPCONV_DEFAULTS, grid_dl=0.03, grid_capacities=(256, 128, 64, 32, 16))
+        pyr = build_pyramid(pc, cfg)
+        pts, valid = [pc], jnp.ones(pc.shape[:2], pc.dtype)
+        for lvl in range(1, cfg["num_layers"]):
+            cap = min(cfg["grid_capacities"][lvl], pts[-1].shape[1])
+            pts_l, valid = grid_subsample_fixed(
+                pts[-1], 0.03 * (2 ** lvl), cap, valid=valid, pre_sorted=False
+            )
+            pts.append(pts_l)
+            np.testing.assert_array_equal(
+                np.asarray(pyr["points"][lvl]), np.asarray(pts_l),
+                err_msg=f"level {lvl}",
+            )
