@@ -246,13 +246,21 @@ class TestMortonPreSorted:
             KPCONV_DEFAULTS, build_pyramid, grid_subsample_fixed,
         )
 
-        # the hazard is real: for the misaligned dl chain the shortcut path
-        # disagrees with the sorted path on at least one cloud
+        # the hazard is real at the misaligned transition 0.12 -> 0.24
+        # (offsets 33 vs 16; 33 != 2*16): the shortcut mis-segments voxels by
+        # O(voxel size), not rounding noise. The 0.06 -> 0.12 transition
+        # (66 == 2*33) is aligned, and there the shortcut is BITWISE exact
+        # (lax.sort is stable, so re-sorting an already-sorted level is the
+        # identity) — both sides of the guard demonstrated.
         pc = jnp.asarray(rng.uniform(-1, 1, size=(4, 256, 3)), jnp.float32)
-        p1, v1 = grid_subsample_fixed(pc, 0.03 * 2, 128)
-        fast = grid_subsample_fixed(p1, 0.03 * 4, 64, valid=v1, pre_sorted=True)
-        slow = grid_subsample_fixed(p1, 0.03 * 4, 64, valid=v1, pre_sorted=False)
-        assert not np.array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+        p1, v1 = grid_subsample_fixed(pc, 0.12, 128)
+        fast = grid_subsample_fixed(p1, 0.24, 64, valid=v1, pre_sorted=True)
+        slow = grid_subsample_fixed(p1, 0.24, 64, valid=v1, pre_sorted=False)
+        assert np.abs(np.asarray(fast[0]) - np.asarray(slow[0])).max() > 1e-3
+        p1a, v1a = grid_subsample_fixed(pc, 0.06, 128)
+        fa = grid_subsample_fixed(p1a, 0.12, 64, valid=v1a, pre_sorted=True)
+        sl = grid_subsample_fixed(p1a, 0.12, 64, valid=v1a, pre_sorted=False)
+        np.testing.assert_array_equal(np.asarray(fa[0]), np.asarray(sl[0]))
 
         cfg = dict(KPCONV_DEFAULTS, grid_dl=0.03, grid_capacities=(256, 128, 64, 32, 16))
         pyr = build_pyramid(pc, cfg)
