@@ -134,9 +134,15 @@ def cfg_from_list(cfg_list, config: ConfigDict) -> None:
             elem_type = type(d[subkey][0])
             d[subkey] = [elem_type(x) for x in str(value).split(",")]
         else:
-            assert type(value) is type(
-                d[subkey]
-            ), f"type {type(value)} does not match original type {type(d[subkey])}"
+            if isinstance(d[subkey], float) and isinstance(value, int):
+                # "--set METHODS.MMD_WEIGHT 0" literal_evals to int; widening
+                # to the key's float type is lossless and saves the caller a
+                # trailing ".0" (the reference asserts here).
+                value = float(value)
+            assert type(value) is type(d[subkey]), (
+                f"--set {k}: value {v!r} parsed as {type(value).__name__}, "
+                f"but the config key is {type(d[subkey]).__name__}"
+            )
             d[subkey] = value
 
 

@@ -163,6 +163,17 @@ class TestConfig:
         with pytest.raises(AssertionError):
             cfg_from_list(["B", "2"], config)
 
+    def test_cfg_from_list_widens_int_to_float(self):
+        # "--set METHODS.MMD_WEIGHT 0" must not trip the type check: the CLI
+        # token parses as int but the key is float — widen losslessly.
+        config = ConfigDict({"METHODS": {"MMD_WEIGHT": 0.5}, "N": 10})
+        cfg_from_list(["METHODS.MMD_WEIGHT", "0"], config)
+        assert config.METHODS.MMD_WEIGHT == 0.0
+        assert isinstance(config.METHODS.MMD_WEIGHT, float)
+        # the reverse (float onto an int key) still fails, with the key named
+        with pytest.raises(AssertionError, match="N"):
+            cfg_from_list(["N", "2.5"], config)
+
     def test_attribute_access(self):
         c = ConfigDict({"x": {"y": [1, {"z": 2}]}})
         assert c.x.y[1].z == 2
