@@ -53,7 +53,9 @@ for SEED in $SEEDS; do
       stamp "skip $ARM seed=$SEED (done)"; continue
     fi
     EXTRA=""
-    [ "$ARM" = clsonly ] && EXTRA="METHODS.MMD_WEIGHT 0"
+    # NB: 0.0, not 0 — the typed --set (utils/config.py) rejects an int
+    # override of a float key.
+    [ "$ARM" = clsonly ] && EXTRA="METHODS.MMD_WEIGHT 0.0"
     stamp "arm=$ARM seed=$SEED starting"
     env PYTHONPATH="$TPU_PP" python train_dg_single_gpu.py --source modelnet \
       --cfg tools/cfgs/cfgs_local/DG_unified_loss.yaml \
