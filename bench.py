@@ -71,6 +71,19 @@ class MethodologyError(RuntimeError):
     """The timing itself is broken (impossible MFU) — never retried."""
 
 
+# Persistent compile cache for the measurement children: compile time is NOT
+# part of the measurement (the scan times steady-state steps), and on this
+# box's remote-compile tunnel a cached program turns a 2-5 min compile into
+# seconds — less wall time, less outage exposure.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(tempfile.gettempdir(), "jaxcache")
+)
+try:
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+except OSError:
+    pass
+
+
 # --------------------------------------------------------------------------
 # child side (imports jax; runs under a parent-enforced hard timeout)
 # --------------------------------------------------------------------------

@@ -39,6 +39,13 @@ from sug_tpu.ops.augment import augment_batch
 from sug_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
+# BatchNorm backbones whose stacked both-domains forward is the default:
+# requires BOTH a transfer-neutrality A/B (docs/VALIDATION.md "Stacked
+# both-domains forward") AND a measured step-speed win (docs/PERF.md).
+# Pointnet/PTran stay sequential until they get their own transfer A/B.
+_STACKED_DEFAULT_ON: tuple = ()
+
+
 @flax.struct.dataclass
 class DGTrainState:
     params: Any
@@ -189,19 +196,26 @@ class DGTrainer:
         # heads are norm/dropout-free, so both domains run as ONE stacked
         # generator pass — numerically identical, ~half the tiny-op count
         # (NetMDA._stacked). SUG_KPCONV_STACKED=0 restores the sequential
-        # choreography. For the BatchNorm backbones the same transform is
-        # available OPT-IN via SUG_STACKED_FORWARD=1: train-time
-        # normalization is exactly per-domain (2-group BN) and the running
-        # stats use the sequential-momentum update (models/bn.py), but head
-        # DROPOUT draws one mask over 2B rows instead of two over B —
-        # distributionally identical, not bit-identical, so it stays off
-        # until a transfer A/B clears it (docs/PERF.md).
+        # choreography. For the BatchNorm backbones the same transform keeps
+        # train-time normalization exactly per-domain (2-group BN) with the
+        # sequential-momentum running-stat update (models/bn.py); the ONLY
+        # train-math delta is head DROPOUT drawing one mask over 2B rows
+        # instead of two over B — distributionally identical, and proven
+        # transfer-neutral for DGCNN/Pointnet2 (docs/VALIDATION.md "Stacked
+        # both-domains forward"), so those two default ON where the measured
+        # step is faster (docs/PERF.md round-5 sweep). SUG_STACKED_FORWARD=1
+        # forces it on (any backbone), =0 forces the sequential choreography.
         import os
 
-        stacked = (
-            self.model_name == "KPConv"
-            and os.environ.get("SUG_KPCONV_STACKED", "1") != "0"
-        ) or os.environ.get("SUG_STACKED_FORWARD", "0") == "1"
+        env = os.environ.get("SUG_STACKED_FORWARD")
+        if self.model_name == "KPConv":
+            stacked = (
+                os.environ.get("SUG_KPCONV_STACKED", "1") != "0" or env == "1"
+            )
+        elif env in ("0", "1"):
+            stacked = env == "1"
+        else:
+            stacked = self.model_name in _STACKED_DEFAULT_ON
         if stacked and self._bn_groups == 1:
             return self._forward_stacked(
                 params, batch_stats, data_s, data_t, fps_s, fps_t,
